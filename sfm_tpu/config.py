@@ -1,0 +1,97 @@
+"""Typed configuration for the TPU SfM engine.
+
+The reference hard-codes every policy constant in constructors
+(/root/reference/CSfM.cpp:30-54, CTracker.cpp:25-45, CMap.cpp:25-29,
+CScanGuidance.cpp:11-21) and camera calibration in main
+(/root/reference/main/main.cpp:46-52).  Here the full constant table is one
+frozen dataclass so a scan is reproducible from its config alone.
+
+Static shape capacities (``max_keypoints`` etc.) have no analogue in the
+reference (dynamic ``std::vector`` everywhere); they define the fixed tensor
+shapes every jitted step compiles against.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class SfMConfig:
+    # ---- static capacities (compile-time shape constants) ----
+    max_keypoints: int = 512       # per-frame detected feature budget
+    max_keyframes: int = 64        # keyframe SoA capacity
+    max_landmarks: int = 16384     # landmark SoA capacity
+    desc_bits: int = 512           # binary descriptor width (BRISK is 512-bit)
+    image_height: int = 480
+    image_width: int = 640
+    pyramid_levels: int = 4        # detector scale-space octaves
+
+    # ---- detector (ref: BRISK thresh 60, 6 octaves — CTracker.cpp:43) ----
+    fast_threshold: float = 20.0   # FAST-score intensity threshold (0..255 scale)
+    nms_radius: int = 2            # non-max suppression radius (pixels)
+
+    # ---- matcher (ref: CTracker.cpp:27-40) ----
+    match_ratio: float = 0.8           # Lowe ratio test
+    match_min_radius: float = 1.5      # motion window, px (ref _minMatchMotion)
+    match_max_radius: float = 40.0     # motion window, px (ref _maxMatchMotion)
+    match_max_distance: int = 90       # max Hamming distance (of desc_bits)
+    min_features: int = 5              # minimum matches to proceed (ref _minFeatures)
+
+    # ---- two-view init (ref: CSfM.cpp:842-859) ----
+    h_inlier_threshold: float = 5.99   # homography score threshold, px^2-ish
+    f_inlier_threshold: float = 3.84   # fundamental score threshold
+    hf_model_ratio: float = 0.45       # pick H when s_h/(s_h+s_f) > 0.45
+    ransac_hypotheses: int = 128       # fixed hypothesis batch (adaptive-count substitute)
+    min_init_matches: int = 40         # matches needed to attempt bootstrap
+
+    # ---- tracking / PnP (ref: CSfM.cpp:35, 39, 553-560) ----
+    max_reproj_error: float = 7.0      # px, inlier + accuracy gate
+    pnp_hypotheses: int = 64           # PnP RANSAC hypothesis batch
+    pnp_sample_size: int = 6           # 6-pt DLT pose minimal sample
+    pnp_refine_iters: int = 10         # pose-only Gauss-Newton iterations
+    max_lost_frames: int = 10          # frames below min matches before LOST
+
+    # ---- keyframe policy (ref: CSfM.cpp:44, 481-498) ----
+    keyframe_time_lag: int = 10        # min frames between keyframes
+    keyframe_min_tracked: int = 50     # min tracked points to insert
+    keyframe_track_ratio: float = 0.9  # insert when tracks < 90% of last KF
+
+    # ---- mapping / culling (ref: CMap.cpp:27-28, 384-404; CSfM.cpp:708-752) ----
+    cull_min_views: int = 3            # landmark seen by < 3 KFs -> cull
+    cull_young_kf_age: int = 3         # "young" landmark age window (keyframes)
+    cull_view_ratio: float = 0.25      # young: views/frames-alive below -> cull
+    kf_cull_redundancy: float = 0.9    # cull KF if >=90% points seen by >3 others
+    kf_cull_min_others: int = 3
+    epipolar_max_error: float = 7.0    # triangulation epipolar filter, px
+
+    # ---- bundle adjustment (replaces Ceres DENSE_SCHUR, CTracker.cpp:571-577) ----
+    ba_iterations: int = 20            # outer LM iterations
+    ba_lambda_init: float = 1e-3
+    ba_lambda_up: float = 4.0
+    ba_lambda_down: float = 2.0
+    ba_huber_delta: float = 0.0        # 0 disables robust loss (ref uses NULL loss)
+
+    # ---- scan guidance (ref: CScanGuidance.cpp:11-21) ----
+    guidance_downscale: int = 4
+    guidance_hist_bins_h: int = 60
+    guidance_hist_bins_s: int = 50
+    guidance_ema_alpha: float = 0.9
+    guidance_backproj_threshold: float = 0.01
+
+    # ---- parallel / distributed ----
+    mesh_axis_map: str = "map"         # axis name for landmark sharding
+    mesh_axis_data: str = "scan"       # axis name for batched multi-scan
+
+    @property
+    def desc_words(self) -> int:
+        """Descriptor width in packed uint32 words."""
+        return self.desc_bits // 32
+
+    @property
+    def image_size(self) -> Tuple[int, int]:
+        return (self.image_height, self.image_width)
+
+
+DEFAULT_CONFIG = SfMConfig()

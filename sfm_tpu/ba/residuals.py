@@ -1,0 +1,101 @@
+"""Reprojection residuals and analytic Jacobian blocks for bundle adjustment.
+
+Replaces the Ceres auto-diff cost functors (BAStructAndPoseFunctor /
+BAPoseFunctor / BAStructFunctor, CTracker.h:101-151, CTracker.cpp:579-668):
+2 residuals per observation, intrinsics applied with the skew term, no
+distortion (points are pre-undistorted — CTracker.cpp:597).
+
+Pose increments use the LOCAL left-multiplicative parameterization
+(R <- exp(dw) R, t <- t + dt), which gives closed-form 2x3 Jacobian blocks:
+    d(cam)/d(dw) = -[R X + t - t]_x = -[p_cam - t... ] == -hat(R X)
+    d(cam)/d(dt) = I
+    d(cam)/d(X)  = R
+and the pixel chain rule d(uv)/d(cam) is the standard pinhole 2x3.
+This is equivalent at the optimum to Ceres's global angle-axis blocks but
+keeps every Jacobian a tiny closed form — the shape the MXU wants.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry.rotations import exp_so3, hat, log_so3
+
+
+class Observations(NamedTuple):
+    """COO observation list (the AddResidualBlock loop's data,
+    CTracker.cpp:676-696, as flat tensors)."""
+    cam_idx: jnp.ndarray   # [O] int32
+    lm_idx: jnp.ndarray    # [O] int32
+    uv: jnp.ndarray        # [O, 2] f32 measured (undistorted) pixels
+    w: jnp.ndarray         # [O] f32 weights (0 = padding/invalid)
+
+
+def residuals_and_jacobians(K: jnp.ndarray, R: jnp.ndarray,
+                            tvec: jnp.ndarray, xyz: jnp.ndarray,
+                            obs: Observations):
+    """Per-observation residual r [O,2] and blocks A=dr/d(dw,dt) [O,2,6],
+    B=dr/dX [O,2,3].
+
+    R: [C,3,3] rotation matrices, tvec: [C,3], xyz: [L,3]."""
+    Rc = R[obs.cam_idx]                   # [O,3,3]
+    tc = tvec[obs.cam_idx]                # [O,3]
+    X = xyz[obs.lm_idx]                   # [O,3]
+    RX = jnp.einsum("oij,oj->oi", Rc, X)
+    p = RX + tc                           # camera-frame point
+    z = p[:, 2]
+    z_safe = jnp.where(jnp.abs(z) < 1e-6, jnp.where(z < 0, -1e-6, 1e-6), z)
+    inv_z = 1.0 / z_safe
+    fx, fy, skew = K[0, 0], K[1, 1], K[0, 1]
+    cx, cy = K[0, 2], K[1, 2]
+    u = fx * p[:, 0] * inv_z + skew * p[:, 1] * inv_z + cx
+    v = fy * p[:, 1] * inv_z + cy
+    r = jnp.stack([u, v], axis=-1) - obs.uv
+
+    # d(uv)/d(p_cam): [O,2,3]
+    zero = jnp.zeros_like(inv_z)
+    duv_dp = jnp.stack([
+        jnp.stack([fx * inv_z, skew * inv_z,
+                   -(fx * p[:, 0] + skew * p[:, 1]) * inv_z * inv_z], -1),
+        jnp.stack([zero, fy * inv_z, -fy * p[:, 1] * inv_z * inv_z], -1),
+    ], axis=1)
+
+    # d(p_cam)/d(dw) = -hat(R X); d(p_cam)/d(dt) = I; d(p_cam)/dX = R
+    dp_dw = -hat(RX)                      # [O,3,3]
+    A_w = jnp.einsum("oij,ojk->oik", duv_dp, dp_dw)
+    A_t = duv_dp
+    A = jnp.concatenate([A_w, A_t], axis=-1)          # [O,2,6]
+    B = jnp.einsum("oij,ojk->oik", duv_dp, Rc)        # [O,2,3]
+    return r, A, B
+
+
+def huber_weights(r: jnp.ndarray, delta: float) -> jnp.ndarray:
+    """Per-observation IRLS weight for the Huber loss; delta<=0 -> all ones
+    (the reference uses a NULL loss, CTracker.cpp:682)."""
+    if delta <= 0:
+        return jnp.ones(r.shape[0], r.dtype)
+    nrm = jnp.linalg.norm(r, axis=-1)
+    return jnp.where(nrm <= delta, 1.0, delta / jnp.maximum(nrm, 1e-12))
+
+
+def apply_pose_update(rvec, tvec, dw, dt):
+    """Left-multiplicative pose update: R <- exp(dw) R, t <- t + dt."""
+    R_new = exp_so3(dw) @ exp_so3(rvec)
+    return log_so3(R_new), tvec + dt
+
+
+def total_cost(K, rvec, tvec, xyz, obs: Observations,
+               huber_delta: float = 0.0):
+    """Sum of (robustified) squared reprojection residuals."""
+    R = exp_so3(rvec)
+    r, _, _ = residuals_and_jacobians(K, R, tvec, xyz, obs)
+    sq = jnp.sum(r * r, axis=-1)
+    if huber_delta > 0:
+        d = huber_delta
+        nrm = jnp.sqrt(sq + 1e-12)
+        rho = jnp.where(nrm <= d, sq, 2 * d * nrm - d * d)
+        return jnp.sum(rho * obs.w)
+    return jnp.sum(sq * obs.w)

@@ -1,0 +1,113 @@
+"""Engine state pytree and frame construction.
+
+``SfMState`` is the functional equivalent of CSfM's member state
+(CSfM.h:82-123): instead of mutating members, every step function takes and
+returns the whole pytree, which keeps the engine jit-compatible, trivially
+checkpointable (it's just arrays), and race-free by construction.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..config import SfMConfig
+from ..features.detect import detect
+from ..features.descriptor import describe
+from ..features.detect import build_pyramid
+from ..geometry.camera import undistort_pixels
+from ..mapstore import (Frame, KeyframeStore, LandmarkStore, empty_frame,
+                        empty_keyframes, empty_landmarks)
+
+# engine status values (CSfM.h:43-45)
+NOT_INITIALIZED = 0
+RUNNING = 1
+LOST = 2
+
+
+class CameraParams(NamedTuple):
+    """Calibration bundle (the CSfM ctor arguments, CSfM.h:50)."""
+    K: jnp.ndarray      # [3,3] raw intrinsics
+    d: jnp.ndarray      # [5] distortion (k1,k2,p1,p2,k3)
+    Kopt: jnp.ndarray   # [3,3] rectified pinhole model (CFrame::_Kopt)
+
+
+class SfMState(NamedTuple):
+    status: jnp.ndarray            # scalar int32
+    prev: Frame                    # reference frame (CTracker::_prevFrame)
+    kfs: KeyframeStore
+    lms: LandmarkStore
+    frame_count: jnp.ndarray       # frames seen
+    last_kf_frame_no: jnp.ndarray  # keyframe policy lag
+    last_kf_tracked: jnp.ndarray   # tracked count at last KF (ratio policy)
+    lost_count: jnp.ndarray        # consecutive low-match frames
+    init_fail_count: jnp.ndarray   # bootstrap anti-stall (CSfM.cpp:997-999)
+    key: jnp.ndarray               # PRNG key for RANSAC sampling
+
+
+class StepMetrics(NamedTuple):
+    """Structured per-frame observability (SURVEY.md §5's gap: the reference
+    only had an imshow overlay)."""
+    status: jnp.ndarray
+    n_detected: jnp.ndarray
+    n_matches: jnp.ndarray
+    n_inliers: jnp.ndarray
+    n_tracked: jnp.ndarray
+    n_landmarks: jnp.ndarray
+    n_keyframes: jnp.ndarray
+    keyframe_added: jnp.ndarray
+    mean_reproj_err: jnp.ndarray
+    rvec: jnp.ndarray
+    tvec: jnp.ndarray
+
+
+def zero_metrics() -> StepMetrics:
+    z = jnp.asarray(0, jnp.int32)
+    return StepMetrics(status=z, n_detected=z, n_matches=z, n_inliers=z,
+                       n_tracked=z, n_landmarks=z, n_keyframes=z,
+                       keyframe_added=jnp.asarray(False),
+                       mean_reproj_err=jnp.asarray(0.0, jnp.float32),
+                       rvec=jnp.zeros(3, jnp.float32),
+                       tvec=jnp.zeros(3, jnp.float32))
+
+
+def init_state(cfg: SfMConfig) -> SfMState:
+    return SfMState(
+        status=jnp.asarray(NOT_INITIALIZED, jnp.int32),
+        prev=empty_frame(cfg.max_keypoints, cfg.desc_words),
+        kfs=empty_keyframes(cfg.max_keyframes, cfg.max_keypoints,
+                            cfg.desc_words),
+        lms=empty_landmarks(cfg.max_landmarks, cfg.desc_bits),
+        frame_count=jnp.asarray(0, jnp.int32),
+        last_kf_frame_no=jnp.asarray(-10**6, jnp.int32),
+        last_kf_tracked=jnp.asarray(0, jnp.int32),
+        lost_count=jnp.asarray(0, jnp.int32),
+        init_fail_count=jnp.asarray(0, jnp.int32),
+        key=jax.random.PRNGKey(0),
+    )
+
+
+def make_frame(cfg: SfMConfig, cam: CameraParams, image: jnp.ndarray,
+               frame_no: jnp.ndarray) -> Frame:
+    """CFrame::setFrame + setKeyPoints equivalent: detect, describe, and
+    undistort all points into the Kopt pinhole model (CFrame.cpp:156-227)."""
+    kps = detect(image, max_keypoints=cfg.max_keypoints,
+                 levels=cfg.pyramid_levels, threshold=cfg.fast_threshold,
+                 nms_radius=cfg.nms_radius)
+    pyr = build_pyramid(image, cfg.pyramid_levels)
+    desc = describe(pyr, kps, cfg.desc_bits)
+    xy_und = undistort_pixels(cam.K, cam.d, cam.Kopt, kps.xy)
+    return Frame(
+        xy=xy_und,
+        xy_dist=kps.xy,
+        desc=desc,
+        level=kps.level,
+        score=kps.score,
+        kp_valid=kps.valid,
+        landmark=jnp.full((cfg.max_keypoints,), -1, jnp.int32),
+        rvec=jnp.zeros(3, jnp.float32),
+        tvec=jnp.zeros(3, jnp.float32),
+        frame_no=frame_no,
+    )

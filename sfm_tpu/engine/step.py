@@ -1,0 +1,108 @@
+"""The engine step dispatcher and host-facing SfMEngine class.
+
+``build_step`` assembles one jitted transition
+``(state, image) -> (state, metrics)`` that dispatches on the 3-state
+machine NOT_INITIALIZED / RUNNING / LOST (CSfM::addFrame, CSfM.cpp:59-89)
+via lax.switch — branchy per-frame control flow with zero recompiles
+(SURVEY.md §7 hard part 4).
+
+``SfMEngine`` is the host driver: the public API mirrors CSfM's
+(CSfM.h:50-56): construct with (K, image size, distortion), call
+``add_frame`` per frame, ``get_reconstruction`` at the end."""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import SfMConfig
+from ..geometry.camera import optimal_new_camera_matrix
+from .state import (SfMState, StepMetrics, CameraParams, init_state,
+                    make_frame, NOT_INITIALIZED, RUNNING, LOST)
+from .bootstrap import bootstrap_step
+from .tracking import tracking_step
+from .mapping import mapping_pass
+from .reloc import reloc_step
+
+
+def build_step(cfg: SfMConfig, cam: CameraParams):
+    """Build the jittable per-frame transition function."""
+
+    def mapping_fn(state, slot):
+        return mapping_pass(cfg, cam, state, slot)
+
+    def step(state: SfMState, image: jnp.ndarray
+             ) -> Tuple[SfMState, StepMetrics]:
+        frame = make_frame(cfg, cam, image, state.frame_count)
+
+        branches = [
+            lambda st: bootstrap_step(cfg, cam, st, frame),
+            lambda st: tracking_step(cfg, cam, st, frame, mapping_fn),
+            lambda st: reloc_step(cfg, cam, st, frame),
+        ]
+        state, metrics = jax.lax.switch(state.status, branches, state)
+        state = state._replace(frame_count=state.frame_count + 1)
+        return state, metrics
+
+    return step
+
+
+class SfMEngine:
+    """Host-side engine (CSfM equivalent).  Owns the jitted step and the
+    state pytree; all numerics run on device."""
+
+    def __init__(self, K, image_size, dist=None, config: SfMConfig = None):
+        cfg = config or SfMConfig()
+        if image_size != cfg.image_size:
+            cfg = SfMConfig(**{**cfg.__dict__, "image_height": image_size[0],
+                               "image_width": image_size[1]})
+        self.config = cfg
+        K = np.asarray(K, np.float32)
+        d = np.zeros(5, np.float32)
+        if dist is not None:
+            d[:len(dist)] = np.asarray(dist, np.float32)
+        if np.any(d != 0):
+            Kopt = optimal_new_camera_matrix(K, d, cfg.image_size)
+        else:
+            Kopt = K
+        self.cam = CameraParams(K=jnp.asarray(K), d=jnp.asarray(d),
+                                Kopt=jnp.asarray(Kopt))
+        self._step = jax.jit(build_step(cfg, self.cam), donate_argnums=(0,))
+        self.state = init_state(cfg)
+        self.metrics_log = []
+
+    def add_frame(self, image) -> dict:
+        """Process one frame (CSfM::addFrame).  image: [H, W] grey uint8 or
+        float.  Returns the per-frame metrics dict."""
+        img = jnp.asarray(np.asarray(image, np.float32))
+        if img.ndim == 3:
+            img = 0.114 * img[..., 0] + 0.587 * img[..., 1] + 0.299 * img[..., 2]
+        self.state, metrics = self._step(self.state, img)
+        m = {k: np.asarray(v) for k, v in metrics._asdict().items()}
+        self.metrics_log.append(m)
+        return m
+
+    def get_reconstruction(self) -> Tuple[np.ndarray, np.ndarray]:
+        """All live landmark positions (CSfM::getReconstruction).  Returns
+        (points [M,3], valid-mask-trimmed)."""
+        lms = self.state.lms
+        valid = np.asarray(lms.valid)
+        pts = np.asarray(lms.xyz)[valid]
+        return pts, valid
+
+    def get_trajectory(self) -> np.ndarray:
+        """Keyframe poses [n, 6] (rvec, tvec) sorted by frame number."""
+        kfs = self.state.kfs
+        valid = np.asarray(kfs.valid)
+        fn = np.asarray(kfs.frames.frame_no)[valid]
+        rv = np.asarray(kfs.frames.rvec)[valid]
+        tv = np.asarray(kfs.frames.tvec)[valid]
+        order = np.argsort(fn)
+        return np.concatenate([rv[order], tv[order]], axis=1)
+
+    @property
+    def status(self) -> int:
+        return int(self.state.status)

@@ -1,0 +1,180 @@
+"""Per-frame tracking (CSfM::tracking, CSfM.cpp:500-631) — the latency path.
+
+Match the previous frame's map-linked features to the current detections,
+PnP-RANSAC the pose (prior pose as an extra hypothesis), keep inliers,
+widen the track set by reprojecting unseen landmarks into the frame
+(findMapPointsInCurrentFrame, CSfM.cpp:633-690), decide keyframe insertion
+(CSfM.cpp:481-498), and swap frame buffers.  Low-match frames bump
+``lost_count`` and keep the old reference frame ("chances are this is a
+blurry frame", CSfM.cpp:531); after ``max_lost_frames`` misses the engine
+goes LOST."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..config import SfMConfig
+from ..features.match import match_features
+from ..geometry.camera import project
+from ..geometry.pnp import reprojection_errors
+from ..mapstore import (add_views, add_descriptors, representative_descriptors,
+                        insert_keyframe, increment_age)
+from ..ransac import ransac_pnp
+from .state import SfMState, StepMetrics, zero_metrics, CameraParams, \
+    RUNNING, LOST
+
+
+def widen_tracks(cfg: SfMConfig, cam: CameraParams, lms, curr):
+    """findMapPointsInCurrentFrame (CSfM.cpp:633-690): project unseen valid
+    landmarks into the frame and match them (reprojection-guided window)
+    against still-unmatched detections.  Returns the updated frame and the
+    per-landmark-slot match info."""
+    L = lms.valid.shape[0]
+    # landmarks already linked in this frame
+    linked = curr.landmark >= 0
+    safe_link = jnp.where(linked, curr.landmark, 0)
+    already = jnp.zeros((L,), bool).at[safe_link].set(linked, mode="drop")
+
+    proj = project(cam.Kopt, curr.rvec, curr.tvec, lms.xyz)
+    from ..geometry.camera import depths
+    depth = depths(curr.rvec, curr.tvec, lms.xyz)
+    H, W = cfg.image_size
+    in_img = ((proj[:, 0] >= 0) & (proj[:, 0] < W) &
+              (proj[:, 1] >= 0) & (proj[:, 1] < H) & (depth > 0))
+    cand = lms.valid & ~already & in_img
+
+    rep = representative_descriptors(lms)
+    tgt_valid = curr.kp_valid & ~(curr.landmark >= 0)
+    res = match_features(
+        rep, proj, cand, curr.desc, curr.xy, tgt_valid,
+        min_radius=0.0, max_radius=cfg.max_reproj_error,
+        max_distance=cfg.match_max_distance, ratio=cfg.match_ratio,
+        window_center0=proj)
+    ok = res.mask
+    lm_ids = jnp.arange(L, dtype=jnp.int32)
+    new_landmark = curr.landmark.at[
+        jnp.where(ok, res.idx, curr.landmark.shape[0])].set(
+            lm_ids, mode="drop")
+    return curr._replace(landmark=new_landmark), jnp.sum(ok)
+
+
+def tracking_step(cfg: SfMConfig, cam: CameraParams, state: SfMState,
+                  frame, mapping_fn) -> tuple:
+    """One RUNNING-state step.  ``mapping_fn(state, new_kf_slot) -> state``
+    is invoked (via lax.cond) when a keyframe is inserted."""
+    prev, curr = state.prev, frame
+    key, k_pnp = jax.random.split(state.key)
+
+    # match only the previous frame's map-linked features (CSfM.cpp:511-518)
+    src_valid = prev.kp_valid & (prev.landmark >= 0)
+    res = match_features(
+        prev.desc, prev.xy, src_valid,
+        curr.desc, curr.xy, curr.kp_valid,
+        min_radius=cfg.match_min_radius, max_radius=cfg.match_max_radius,
+        max_distance=cfg.match_max_distance, ratio=cfg.match_ratio)
+    n_matches = jnp.sum(res.mask)
+
+    def lost_branch(_):
+        lost = state.lost_count + 1
+        status = jnp.where(lost > cfg.max_lost_frames,
+                           jnp.asarray(LOST, jnp.int32),
+                           jnp.asarray(RUNNING, jnp.int32))
+        # keep the old reference frame (blurry-frame heuristic)
+        st = state._replace(lost_count=lost, status=status, key=key)
+        m = zero_metrics()._replace(
+            status=status, n_detected=jnp.sum(curr.kp_valid),
+            n_matches=n_matches.astype(jnp.int32),
+            n_landmarks=jnp.sum(state.lms.valid).astype(jnp.int32),
+            n_keyframes=jnp.sum(state.kfs.valid).astype(jnp.int32),
+            rvec=prev.rvec, tvec=prev.tvec)
+        return st, m
+
+    def track_branch(_):
+        lms = state.lms
+        # PnP on matched (landmark_xyz, current_detection) pairs
+        safe_lm = jnp.where(src_valid, prev.landmark, 0)
+        xyz = lms.xyz[safe_lm]
+        uv = curr.xy[jnp.where(res.mask, res.idx, 0)]
+        pnp_valid = res.mask & lms.valid[safe_lm]
+        pnp = ransac_pnp(
+            k_pnp, cam.Kopt, xyz, uv, pnp_valid,
+            n_hypotheses=cfg.pnp_hypotheses,
+            sample_size=cfg.pnp_sample_size,
+            threshold=cfg.max_reproj_error,
+            refine_iters=cfg.pnp_refine_iters,
+            min_inliers=cfg.min_features,
+            prior_rvec=prev.rvec, prior_tvec=prev.tvec)
+
+        # link inlier matches into the current frame (CSfM.cpp:567-576)
+        inl = pnp.inliers
+        curr_linked = curr._replace(
+            rvec=pnp.rvec, tvec=pnp.tvec,
+            landmark=curr.landmark.at[
+                jnp.where(inl, res.idx, curr.landmark.shape[0])].set(
+                    prev.landmark, mode="drop"))
+        lms = add_views(lms, jnp.where(inl, prev.landmark, -1))
+
+        # widen with reprojected unseen landmarks (CSfM.cpp:585)
+        curr_wide, n_widened = widen_tracks(cfg, cam, lms, curr_linked)
+        n_tracked = jnp.sum(curr_wide.kp_valid & (curr_wide.landmark >= 0))
+
+        err = reprojection_errors(
+            cam.Kopt, pnp.rvec, pnp.tvec, xyz, uv)
+        mean_err = jnp.sum(jnp.where(inl, err, 0.0)) / jnp.maximum(
+            jnp.sum(inl), 1)
+
+        # keyframe policy (CSfM.cpp:481-498)
+        lag_ok = (curr.frame_no - state.last_kf_frame_no) >= cfg.keyframe_time_lag
+        enough = n_tracked >= cfg.keyframe_min_tracked
+        losing = n_tracked < cfg.keyframe_track_ratio * state.last_kf_tracked
+        want_kf = lag_ok & enough & losing & pnp.ok
+
+        def with_kf(st):
+            kfs, slot = insert_keyframe(st.kfs, curr_wide)
+            lms2 = add_descriptors(
+                st.lms, jnp.where(curr_wide.kp_valid, curr_wide.landmark, -1),
+                curr_wide.desc)
+            st = st._replace(
+                kfs=kfs, lms=lms2,
+                last_kf_frame_no=curr.frame_no,
+                last_kf_tracked=n_tracked.astype(jnp.int32))
+            st = mapping_fn(st, slot)
+            return st
+
+        st = state._replace(lms=lms, key=key,
+                            lost_count=jnp.asarray(0, jnp.int32))
+        st = jax.lax.cond(want_kf, with_kf, lambda s: s, st)
+        # the optimized keyframe pose becomes the new reference pose
+        # (CSfM.cpp:261); mapping_fn wrote it into prev via the store
+        new_prev = jax.lax.cond(
+            want_kf,
+            lambda: curr_wide._replace(
+                rvec=_kf_pose(st, curr.frame_no, curr_wide.rvec, 0),
+                tvec=_kf_pose(st, curr.frame_no, curr_wide.tvec, 1)),
+            lambda: curr_wide)
+        st = st._replace(prev=new_prev,
+                         lms=increment_age(st.lms, 1, 0))
+        m = zero_metrics()._replace(
+            status=st.status, n_detected=jnp.sum(curr.kp_valid),
+            n_matches=n_matches.astype(jnp.int32),
+            n_inliers=pnp.n_inliers.astype(jnp.int32),
+            n_tracked=n_tracked.astype(jnp.int32),
+            n_landmarks=jnp.sum(st.lms.valid).astype(jnp.int32),
+            n_keyframes=jnp.sum(st.kfs.valid).astype(jnp.int32),
+            keyframe_added=want_kf,
+            mean_reproj_err=mean_err,
+            rvec=new_prev.rvec, tvec=new_prev.tvec)
+        return st, m
+
+    ok = (n_matches >= cfg.min_features)
+    return jax.lax.cond(ok, track_branch, lost_branch, None)
+
+
+def _kf_pose(st: SfMState, frame_no, default, which):
+    """Fetch the (BA-optimized) pose of the keyframe with this frame_no."""
+    match = st.kfs.valid & (st.kfs.frames.frame_no == frame_no)
+    idx = jnp.argmax(match)
+    found = jnp.any(match)
+    val = st.kfs.frames.rvec[idx] if which == 0 else st.kfs.frames.tvec[idx]
+    return jnp.where(found, val, default)

@@ -32,9 +32,11 @@ def _make_pattern(bits: int, seed: int = 17) -> np.ndarray:
 _PATTERN = {}
 
 
-def get_pattern(bits: int) -> jnp.ndarray:
+def get_pattern(bits: int) -> np.ndarray:
+    """Cached as numpy (never jnp: a device array created during tracing
+    would leak a tracer into this module-level cache)."""
     if bits not in _PATTERN:
-        _PATTERN[bits] = jnp.asarray(_make_pattern(bits))
+        _PATTERN[bits] = _make_pattern(bits)
     return _PATTERN[bits]
 
 

@@ -115,9 +115,10 @@ def detect(img: jnp.ndarray, *, max_keypoints: int, levels: int = 4,
     H, W = img.shape
     pyr = build_pyramid(img, levels)
 
-    def level_scores(lvl_img, lvl):
-        s = fast_score(lvl_img, threshold)
-        s = nms(s, nms_radius)
+    raw = jnp.stack([fast_score(pyr[l], threshold) for l in range(levels)])
+
+    def level_scores(lvl):
+        s = nms(raw[lvl], nms_radius)
         h = H >> lvl
         w = W >> lvl
         yy = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
@@ -127,7 +128,7 @@ def detect(img: jnp.ndarray, *, max_keypoints: int, levels: int = 4,
         return jnp.where(inside, s, 0.0)
 
     per_level = jnp.stack(
-        [level_scores(pyr[l], l) for l in range(levels)])   # [L, H, W]
+        [level_scores(l) for l in range(levels)])           # [L, H, W]
 
     # per-level top-(K) then global top-K keeps the sort small
     K = max_keypoints
@@ -140,8 +141,26 @@ def detect(img: jnp.ndarray, *, max_keypoints: int, levels: int = 4,
     top_vals, sel = jax.lax.top_k(vals, K)
     sel_idx = idxs[sel]
     sel_lvl = lvl_ids[sel]
-    y = (sel_idx // W).astype(jnp.float32)
-    x = (sel_idx % W).astype(jnp.float32)
+    yi = sel_idx // W
+    xi = sel_idx % W
+    # subpixel refinement: 1D quadratic fit on the (pre-NMS) score surface
+    # along each axis; offsets clamped to +-0.5
+    def subpix(l, y, x):
+        s0 = raw[l, y, x]
+        sl = raw[l, y, jnp.maximum(x - 1, 0)]
+        sr = raw[l, y, jnp.minimum(x + 1, W - 1)]
+        su = raw[l, jnp.maximum(y - 1, 0), x]
+        sd = raw[l, jnp.minimum(y + 1, H - 1), x]
+        # quadratic vertex (sl - sr) / (2 (sl + sr - 2 s0)); the curvature
+        # is <= 0 at a maximum, so guard on its magnitude
+        cx = sl + sr - 2 * s0
+        cy = su + sd - 2 * s0
+        dx = jnp.where(jnp.abs(cx) > 1e-6, (sl - sr) / (2 * cx), 0.0)
+        dy = jnp.where(jnp.abs(cy) > 1e-6, (su - sd) / (2 * cy), 0.0)
+        return (jnp.clip(dx, -0.5, 0.5), jnp.clip(dy, -0.5, 0.5))
+    dx, dy = jax.vmap(subpix)(sel_lvl, yi, xi)
+    y = yi.astype(jnp.float32) + dy
+    x = xi.astype(jnp.float32) + dx
     scale = jnp.exp2(sel_lvl.astype(jnp.float32))
     # full-res coordinate: center of the level pixel footprint
     xy = jnp.stack([x * scale + 0.5 * (scale - 1.0),

@@ -1,0 +1,97 @@
+"""End-to-end engine integration tests (SURVEY.md §4.3): synthetic rendered
+scan with known trajectory -> full pipeline -> ATE / reprojection
+thresholds.  Replaces the reference's tissuebox eyeball test."""
+
+import numpy as np
+import jax
+import pytest
+
+from sfm_tpu.config import SfMConfig
+from sfm_tpu.engine import SfMEngine, RUNNING, LOST, NOT_INITIALIZED
+from render import SpriteScene, strafe_trajectory, umeyama_ate
+from synthetic import rodrigues_np
+
+
+TEST_CFG = SfMConfig(
+    max_keypoints=192, max_keyframes=8, max_landmarks=1024,
+    image_height=240, image_width=320, pyramid_levels=3,
+    ransac_hypotheses=64, pnp_hypotheses=32, ba_iterations=6,
+    keyframe_min_tracked=15, keyframe_time_lag=6, min_init_matches=25)
+
+K = np.array([[250., 0, 160], [0, 250., 120], [0, 0, 1]], np.float32)
+
+
+@pytest.fixture(scope="module")
+def scan_result():
+    rng = np.random.default_rng(3)
+    scene = SpriteScene(rng)
+    rvecs, tvecs = strafe_trajectory(30)
+    eng = SfMEngine(K, (240, 320), None, TEST_CFG)
+    metrics = [eng.add_frame(scene.render(K, rvecs[i], tvecs[i], 240, 320))
+               for i in range(30)]
+    return eng, metrics, rvecs, tvecs
+
+
+class TestScan:
+    def test_initializes_and_stays_running(self, scan_result):
+        eng, metrics, _, _ = scan_result
+        assert int(metrics[1]["status"]) == RUNNING  # bootstrap on frame 1
+        assert eng.status == RUNNING
+
+    def test_builds_map_and_keyframes(self, scan_result):
+        eng, metrics, _, _ = scan_result
+        assert int(metrics[-1]["n_keyframes"]) >= 4
+        assert int(metrics[-1]["n_landmarks"]) >= 60
+        pts, _ = eng.get_reconstruction()
+        assert len(pts) >= 60
+        # reconstructed points live in front of the cameras, roughly in the
+        # sprite depth band (scale is gauge-fixed by the unit init baseline)
+        assert (pts[:, 2] > 0).mean() > 0.95
+
+    def test_trajectory_accuracy(self, scan_result):
+        eng, _, rvecs, tvecs = scan_result
+        traj = eng.get_trajectory()
+        kfs = eng.state.kfs
+        valid = np.asarray(kfs.valid)
+        fns = np.sort(np.asarray(kfs.frames.frame_no)[valid])
+        est_c = np.stack([-rodrigues_np(traj[i, :3]).T @ traj[i, 3:]
+                          for i in range(len(traj))])
+        gt_c = np.stack([-rodrigues_np(rvecs[f]).T @ tvecs[f] for f in fns])
+        ate = umeyama_ate(est_c, gt_c)
+        extent = np.linalg.norm(gt_c[-1] - gt_c[0])
+        assert ate < 0.15 * extent
+
+    def test_reprojection_error_gate(self, scan_result):
+        _, metrics, _, _ = scan_result
+        errs = [float(m["mean_reproj_err"]) for m in metrics[5:]
+                if float(m["mean_reproj_err"]) > 0]
+        assert np.mean(errs) < TEST_CFG.max_reproj_error / 2
+
+    def test_metrics_structure(self, scan_result):
+        _, metrics, _, _ = scan_result
+        m = metrics[-1]
+        for key in ("status", "n_detected", "n_matches", "n_inliers",
+                    "n_tracked", "n_landmarks", "n_keyframes",
+                    "keyframe_added", "mean_reproj_err", "rvec", "tvec"):
+            assert key in m
+
+
+class TestLostAndRelocalization:
+    def test_blank_frames_cause_lost_then_recover(self):
+        rng = np.random.default_rng(3)
+        scene = SpriteScene(rng)
+        rvecs, tvecs = strafe_trajectory(30)
+        eng = SfMEngine(K, (240, 320), None, TEST_CFG)
+        for i in range(10):
+            eng.add_frame(scene.render(K, rvecs[i], tvecs[i], 240, 320))
+        assert eng.status == RUNNING
+        blank = np.full((240, 320), 40.0, np.float32)
+        for _ in range(TEST_CFG.max_lost_frames + 2):
+            eng.add_frame(blank)
+        assert eng.status == LOST
+        # recovery on a frame near the last tracked pose (the reference's
+        # recovery() is a stub returning false forever — CSfM.cpp:774-778;
+        # this is the gap SURVEY.md §5 requires filling)
+        m = eng.add_frame(scene.render(K, rvecs[10], tvecs[10], 240, 320))
+        assert eng.status == RUNNING
+        assert int(m["n_inliers"]) >= 15

@@ -1,0 +1,8 @@
+"""Parallel & distributed layer (all net-new relative to the single-threaded
+reference — SURVEY.md §2.14): vmapped multi-scan data parallelism, and
+landmark-sharded distributed bundle adjustment with psum-reduced Schur
+systems over the device mesh."""
+
+from .multiscan import (init_batched_state, build_batched_step,
+                        build_sharded_step, shard_batched_state)
+from .dist_ba import partition_observations, build_dist_ba

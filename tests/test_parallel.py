@@ -1,0 +1,115 @@
+"""Distributed-without-a-cluster tests (SURVEY.md §4.4): real shard_map /
+collective code on 8 virtual CPU devices; golden-value parity between the
+single-device solver and the sharded solver."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+import pytest
+
+from sfm_tpu.ba import Observations, run_ba, total_cost
+from sfm_tpu.parallel import partition_observations, build_dist_ba
+from test_ba import make_ba_scene
+
+
+def make_mesh(n, axis="map"):
+    devs = np.array(jax.devices()[:n])
+    return Mesh(devs, (axis,))
+
+
+class TestDistBA:
+    def _scene(self, rng, n_cams=4, n_pts=64):
+        return make_ba_scene(rng, n_cams=n_cams, n_pts=n_pts)
+
+    def test_parity_with_single_device(self, rng):
+        K, rvec, tvec, X, obs = self._scene(rng)
+        rv0 = rvec + 0.01
+        X0 = X + 0.03
+        cam_free = jnp.ones(4, bool).at[0].set(False)
+        lm_free = jnp.ones(64, bool)
+
+        # single-device reference
+        rv_s, tv_s, X_s, stats_s = run_ba(
+            K, rv0, tvec, X0, obs, cam_free=cam_free, lm_free=lm_free,
+            iterations=12)
+
+        # sharded over 4 virtual devices
+        mesh = make_mesh(4)
+        obs_sh, shard_size = partition_observations(obs, 64, 4, 128)
+        dist = build_dist_ba(mesh, "map", n_cams=4, shard_size=shard_size,
+                             iterations=12)
+        rv_d, tv_d, X_d, stats_d = dist(K, rv0, tvec, X0, obs_sh,
+                                        cam_free, lm_free)
+        # identical LM trajectory -> near-identical result
+        np.testing.assert_allclose(np.asarray(rv_d), np.asarray(rv_s),
+                                   atol=1e-4)
+        np.testing.assert_allclose(np.asarray(X_d), np.asarray(X_s),
+                                   atol=1e-3)
+        assert abs(float(stats_d.final_cost) - float(stats_s.final_cost)) \
+            < 1e-2 * max(float(stats_s.final_cost), 1.0)
+
+    def test_converges_on_8_devices(self, rng):
+        K, rvec, tvec, X, obs = self._scene(rng, n_cams=6, n_pts=160)
+        rv0 = rvec.at[1:].add(0.02)  # keep the gauge camera at ground truth
+        X0 = X + 0.05
+        cam_free = jnp.ones(6, bool).at[0].set(False)
+        lm_free = jnp.ones(160, bool)
+        mesh = make_mesh(8)
+        obs_sh, shard_size = partition_observations(obs, 160, 8, 256)
+        dist = build_dist_ba(mesh, "map", n_cams=6, shard_size=shard_size,
+                             iterations=15)
+        rv_d, tv_d, X_d, stats = dist(K, rv0, tvec, X0, obs_sh,
+                                      cam_free, lm_free)
+        assert float(stats.final_cost) < 1e-2 * float(stats.initial_cost)
+        np.testing.assert_allclose(np.asarray(rv_d), np.asarray(rvec),
+                                   atol=5e-3)
+
+    def test_partition_preserves_observations(self, rng):
+        K, rvec, tvec, X, obs = self._scene(rng)
+        obs_sh, shard_size = partition_observations(obs, 64, 4, 128)
+        assert shard_size == 16
+        # every original observation appears exactly once, with local index
+        total = int(np.asarray(obs_sh.w).sum())
+        assert total == int(np.asarray(obs.w).sum())
+        for s in range(4):
+            w = np.asarray(obs_sh.w)[s] > 0
+            assert (np.asarray(obs_sh.lm_idx)[s][w] < shard_size).all()
+
+
+class TestMultiScan:
+    def test_batched_independent_scans(self, rng):
+        # two identical scans + one divergent scan stay independent
+        import sys
+        from sfm_tpu.config import SfMConfig
+        from sfm_tpu.engine.state import CameraParams, init_state
+        from sfm_tpu.parallel import (init_batched_state, build_batched_step,
+                                      shard_batched_state)
+        from render import SpriteScene, strafe_trajectory
+
+        cfg = SfMConfig(max_keypoints=96, max_keyframes=4, max_landmarks=256,
+                        image_height=120, image_width=160, pyramid_levels=2,
+                        ransac_hypotheses=32, pnp_hypotheses=16,
+                        ba_iterations=3, keyframe_min_tracked=10,
+                        keyframe_time_lag=4, min_init_matches=15)
+        K = np.array([[130., 0, 80], [0, 130., 60], [0, 0, 1]], np.float32)
+        cam = CameraParams(K=jnp.asarray(K), d=jnp.zeros(5),
+                           Kopt=jnp.asarray(K))
+        B = 4
+        states = init_batched_state(cfg, B)
+        mesh = make_mesh(4, axis="scan")
+        states = shard_batched_state(states, mesh, "scan")
+        step = jax.jit(build_batched_step(cfg, cam))
+
+        scenes = [SpriteScene(np.random.default_rng(10 + b), n_sprites=80)
+                  for b in range(B)]
+        rv, tv = strafe_trajectory(6, step=0.08)
+        for i in range(6):
+            imgs = np.stack([s.render(K, rv[i], tv[i], 120, 160)
+                             for s in scenes])
+            states, metrics = step(states, jnp.asarray(imgs))
+        status = np.asarray(metrics.status)
+        # batches evolve independently; all should at least have detected
+        # features and most should be running
+        assert (np.asarray(metrics.n_detected) > 20).all()
+        assert (status == 1).sum() >= 2

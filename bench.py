@@ -1,0 +1,84 @@
+"""Driver benchmark: tracking throughput of the flagship engine on one chip.
+
+Runs a synthetic 480x640 scan through the full jitted SLAM step and reports
+median per-frame tracking throughput.  Baseline: the reference's implied
+operating point is live webcam video on a laptop/phone CPU, ~30 fps
+(BASELINE.md; README.md:27, CSfM.cpp:782) — vs_baseline is the multiple of
+that rate.  Prints exactly ONE JSON line on stdout."""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    # warm-start XLA across runs (compile of the full scan step dominates
+    # cold bench time)
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    import jax.numpy as jnp
+    import __graft_entry__ as g
+    from sfm_tpu.config import SfMConfig
+    from sfm_tpu.engine.state import CameraParams, init_state
+    from sfm_tpu.engine.step import build_step
+    from sfm_tpu.synthetic import SpriteScene, strafe_trajectory
+
+    from sfm_tpu.engine.step import build_video_step
+
+    cfg = SfMConfig(**g.FLAGSHIP)
+    K = np.array([[525.0, 0, 320.0], [0, 525.0, 240.0], [0, 0, 1]],
+                 np.float32)
+    cam = CameraParams(K=jnp.asarray(K), d=jnp.zeros(5), Kopt=jnp.asarray(K))
+    CHUNK = 16
+    chunk_step = jax.jit(build_video_step(cfg, cam), donate_argnums=(0,))
+
+    rng = np.random.default_rng(11)
+    scene = SpriteScene(rng, n_sprites=260, spread=2.4)
+    n_frames = 80
+    rvecs, tvecs = strafe_trajectory(n_frames, step=0.06, yaw_rate=0.001)
+    frames = np.stack([scene.render(K, rvecs[i], tvecs[i], 480, 640)
+                       for i in range(n_frames)])
+    chunks = [jnp.asarray(frames[i:i + CHUNK])
+              for i in range(0, n_frames, CHUNK)]
+
+    state = init_state(cfg)
+    # warmup/compile + bootstrap on the first chunk
+    t0 = time.time()
+    state, m = chunk_step(state, chunks[0])
+    jax.block_until_ready(m)
+    print(f"compile+chunk0: {time.time() - t0:.1f}s", file=sys.stderr)
+
+    times = []
+    statuses = []
+    kf_added = []
+    for ch in chunks[1:]:
+        t0 = time.time()
+        state, m = chunk_step(state, ch)
+        m = jax.block_until_ready(m)
+        times.append((time.time() - t0) / ch.shape[0])
+        statuses.extend(np.asarray(m.status).tolist())
+        kf_added.extend(np.asarray(m.keyframe_added).tolist())
+
+    statuses = np.array(statuses)
+    kf_added = np.array(kf_added)
+    med = float(np.median(times))
+    fps = 1.0 / med
+    n_run = int((statuses == 1).sum())
+    print(f"running frames: {n_run}/{len(statuses)}, keyframes: "
+          f"{int(kf_added.sum())}, per-frame (chunked): {med*1000:.2f} ms",
+          file=sys.stderr)
+
+    baseline_fps = 30.0  # reference implied live-video rate on CPU
+    print(json.dumps({
+        "metric": "tracking_fps_per_chip",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / baseline_fps, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -8,4 +8,13 @@ bundle adjustment.
 
 __version__ = "0.1.0"
 
+import jax as _jax
+
+# Geometry, descriptor, and normal-equation matmuls are all
+# precision-sensitive: TPU's default bf16 MXU rounding adds descriptor-bit
+# noise and degrades H/F/PnP estimates enough to stall bootstrap.  Default
+# to full f32 matmuls; perf-critical kernels opt into lower precision
+# explicitly where it is safe.
+_jax.config.update("jax_default_matmul_precision", "float32")
+
 from .config import SfMConfig, DEFAULT_CONFIG

@@ -1,0 +1,130 @@
+"""Desktop CLI (main/main.cpp replacement): frames in -> PLY point cloud out.
+
+The reference hard-codes the video path and iPhone 6s intrinsics
+(main/main.cpp:39-52); here everything is a flag.  Landmark color export
+fixes the reference's never-filled ``colour`` output (CSfM.cpp:798-800).
+
+Usage:
+    python -m sfm_tpu.cli scan --input frames_dir/ --output cloud.ply \
+        --fx 525 --fy 525 --cx 320 --cy 240 [--dist k1 k2 p1 p2 k3] \
+        [--checkpoint state.npz] [--resume state.npz] [--metrics out.jsonl]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def cmd_scan(args) -> int:
+    import jax.numpy as jnp
+    from .config import SfMConfig
+    from .engine import SfMEngine
+    from .io import open_source, PointCloud, save_state, load_state
+    from .guidance import init_guidance, update_guidance
+
+    src = open_source(args.input)
+    first = next(iter(src))
+    h, w = first[0].shape
+
+    cfg = SfMConfig(image_height=h, image_width=w,
+                    max_keypoints=args.max_keypoints,
+                    max_keyframes=args.max_keyframes,
+                    max_landmarks=args.max_landmarks)
+    K = np.array([[args.fx, 0, args.cx], [0, args.fy, args.cy], [0, 0, 1]],
+                 np.float32)
+    eng = SfMEngine(K, (h, w), args.dist, cfg)
+    if args.resume:
+        eng.state = load_state(args.resume, cfg)
+
+    gstate = init_guidance(cfg)
+    metrics_f = open(args.metrics, "w") if args.metrics else None
+    n = 0
+    t0 = time.time()
+    for gray, rgb in src:
+        m = eng.add_frame(gray)
+        if rgb is not None and int(m["status"]) == 1 and args.guidance:
+            gstate, gout = update_guidance(
+                cfg, gstate, jnp.asarray(rgb.astype(np.float32)),
+                eng.state.lms.xyz, eng.state.lms.valid,
+                eng.cam.Kopt, eng.state.prev.rvec, eng.state.prev.tvec)
+        if metrics_f:
+            metrics_f.write(json.dumps(
+                {k: (v.tolist() if hasattr(v, "tolist") else v)
+                 for k, v in m.items()}) + "\n")
+        n += 1
+        if args.max_frames and n >= args.max_frames:
+            break
+    dt = time.time() - t0
+    print(f"processed {n} frames in {dt:.1f}s ({n / max(dt, 1e-9):.1f} fps), "
+          f"status={eng.status}", file=sys.stderr)
+
+    if metrics_f:
+        metrics_f.close()
+    if args.checkpoint:
+        save_state(args.checkpoint, eng.state)
+
+    pts, _ = eng.get_reconstruction()
+    cloud = PointCloud(pts)
+    cloud.center().scale(args.scale)
+    cloud.write_ply(args.output)
+    print(f"wrote {len(pts)} points to {args.output}", file=sys.stderr)
+    return 0
+
+
+def cmd_info(args) -> int:
+    from .io import read_ply
+    xyz, rgb = read_ply(args.input)
+    print(json.dumps({
+        "n_points": int(len(xyz)),
+        "has_color": rgb is not None,
+        "bbox_min": xyz.min(0).tolist() if len(xyz) else None,
+        "bbox_max": xyz.max(0).tolist() if len(xyz) else None,
+    }))
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="sfm_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    ps = sub.add_parser("scan", help="run a scan: frames -> PLY")
+    ps.add_argument("--input", required=True,
+                    help="frame source: image dir, .npy/.npz, or .y4m")
+    ps.add_argument("--output", required=True, help="output .ply path")
+    ps.add_argument("--fx", type=float, required=True)
+    ps.add_argument("--fy", type=float, required=True)
+    ps.add_argument("--cx", type=float, required=True)
+    ps.add_argument("--cy", type=float, required=True)
+    ps.add_argument("--dist", type=float, nargs="*", default=None,
+                    help="distortion k1 k2 p1 p2 [k3]")
+    ps.add_argument("--scale", type=float, default=500.0,
+                    help="output volume scale (ref: scaleVolume(500))")
+    ps.add_argument("--max-keypoints", type=int, default=512)
+    ps.add_argument("--max-keyframes", type=int, default=32)
+    ps.add_argument("--max-landmarks", type=int, default=8192)
+    ps.add_argument("--max-frames", type=int, default=0)
+    ps.add_argument("--checkpoint", default=None,
+                    help="save engine state npz at the end")
+    ps.add_argument("--resume", default=None,
+                    help="resume engine state npz before scanning")
+    ps.add_argument("--metrics", default=None,
+                    help="write per-frame metrics JSONL")
+    ps.add_argument("--guidance", action="store_true",
+                    help="run scan-guidance segmentation on color frames")
+    ps.set_defaults(fn=cmd_scan)
+
+    pi = sub.add_parser("info", help="inspect a PLY file")
+    pi.add_argument("--input", required=True)
+    pi.set_defaults(fn=cmd_info)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

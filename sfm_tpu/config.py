@@ -58,7 +58,14 @@ class SfMConfig:
     keyframe_min_tracked: int = 50     # min tracked points to insert
     keyframe_track_ratio: float = 0.9  # insert when tracks < 90% of last KF
 
-    # ---- mapping / culling (ref: CMap.cpp:27-28, 384-404; CSfM.cpp:708-752) ----
+    # ---- mapping (ref: CSfM.cpp:109-308) ----
+    # The reference matches keyframe pairs with the same 40 px motion window
+    # as frame-to-frame tracking (CSfM.cpp:146); with a multi-frame baseline
+    # that starves triangulation, so the inter-keyframe window is a separate
+    # (wider) knob here.
+    mapping_max_radius: float = 120.0
+
+    # ---- culling (ref: CMap.cpp:27-28, 384-404; CSfM.cpp:708-752) ----
     cull_min_views: int = 3            # landmark seen by < 3 KFs -> cull
     cull_young_kf_age: int = 3         # "young" landmark age window (keyframes)
     cull_view_ratio: float = 0.25      # young: views/frames-alive below -> cull

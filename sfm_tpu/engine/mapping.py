@@ -47,7 +47,7 @@ def _triangulate_with_kf(cfg: SfMConfig, cam: CameraParams, state: SfMState,
     res = match_features(
         old_f.desc, old_f.xy, src_valid & usable,
         new_f.desc, new_f.xy, tgt_valid,
-        min_radius=cfg.match_min_radius, max_radius=cfg.match_max_radius,
+        min_radius=cfg.match_min_radius, max_radius=cfg.mapping_max_radius,
         max_distance=cfg.match_max_distance, ratio=cfg.match_ratio)
 
     uv0 = old_f.xy

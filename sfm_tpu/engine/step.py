@@ -50,6 +50,19 @@ def build_step(cfg: SfMConfig, cam: CameraParams):
     return step
 
 
+def build_video_step(cfg: SfMConfig, cam: CameraParams):
+    """Chunked video driver: one jitted call processes a whole [T, H, W]
+    frame chunk via lax.scan over the per-frame step.  Amortizes host
+    dispatch and host->device transfer over T frames — the throughput mode
+    for offline scans (the per-frame API remains for live tracking)."""
+    step = build_step(cfg, cam)
+
+    def run_chunk(state: SfMState, images: jnp.ndarray):
+        return jax.lax.scan(step, state, images)
+
+    return run_chunk
+
+
 class SfMEngine:
     """Host-side engine (CSfM equivalent).  Owns the jitted step and the
     state pytree; all numerics run on device."""
@@ -71,6 +84,7 @@ class SfMEngine:
         self.cam = CameraParams(K=jnp.asarray(K), d=jnp.asarray(d),
                                 Kopt=jnp.asarray(Kopt))
         self._step = jax.jit(build_step(cfg, self.cam), donate_argnums=(0,))
+        self._chunk_step = None  # compiled lazily on first add_frames
         self.state = init_state(cfg)
         self.metrics_log = []
 
@@ -84,6 +98,21 @@ class SfMEngine:
         m = {k: np.asarray(v) for k, v in metrics._asdict().items()}
         self.metrics_log.append(m)
         return m
+
+    def add_frames(self, images) -> list:
+        """Process a chunk of frames in one device call (throughput mode).
+        images: [T, H, W].  Returns the list of per-frame metric dicts."""
+        if self._chunk_step is None:
+            self._chunk_step = jax.jit(
+                build_video_step(self.config, self.cam), donate_argnums=(0,))
+        imgs = jnp.asarray(np.asarray(images, np.float32))
+        self.state, metrics = self._chunk_step(self.state, imgs)
+        out = []
+        stacked = {k: np.asarray(v) for k, v in metrics._asdict().items()}
+        for i in range(imgs.shape[0]):
+            out.append({k: v[i] for k, v in stacked.items()})
+        self.metrics_log.extend(out)
+        return out
 
     def get_reconstruction(self) -> Tuple[np.ndarray, np.ndarray]:
         """All live landmark positions (CSfM::getReconstruction).  Returns

@@ -1,0 +1,43 @@
+"""Multi-host orchestration (SURVEY.md §2.14 item 4): the TPU-native
+equivalent of a NCCL/MPI bootstrap is jax.distributed.initialize + the
+multi-controller runtime; collectives then ride ICI within a slice and DCN
+across slices automatically via the mesh."""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+import jax
+from jax.sharding import Mesh
+
+
+def initialize_hosts(coordinator: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> None:
+    """Initialize the multi-controller runtime.  On TPU pods with standard
+    metadata all arguments are auto-detected; pass them explicitly for
+    manual clusters.  No-op when already initialized or single-process."""
+    try:
+        if coordinator is None and num_processes is None:
+            jax.distributed.initialize()
+        else:
+            jax.distributed.initialize(
+                coordinator_address=coordinator,
+                num_processes=num_processes, process_id=process_id)
+    except (RuntimeError, ValueError):
+        pass  # already initialized or single-process environment
+
+
+def make_scan_map_mesh(n_scan: Optional[int] = None) -> Mesh:
+    """Global 2D mesh over all devices (all hosts): 'scan' axis for
+    data-parallel multi-scan batches, 'map' axis for landmark sharding.
+    Defaults to scan = number of processes (so each host's scans stay
+    host-local and the map axis rides ICI within a host's devices)."""
+    devs = np.array(jax.devices())
+    n = len(devs)
+    if n_scan is None:
+        n_scan = max(jax.process_count(), 1)
+    while n % n_scan != 0:
+        n_scan -= 1
+    return Mesh(devs.reshape(n_scan, n // n_scan), ("scan", "map"))

@@ -68,8 +68,8 @@ def cmd_scan(args) -> int:
     if args.checkpoint:
         save_state(args.checkpoint, eng.state)
 
-    pts, _ = eng.get_reconstruction()
-    cloud = PointCloud(pts)
+    pts, colors = eng.get_reconstruction()
+    cloud = PointCloud(pts, colors)
     cloud.center().scale(args.scale)
     cloud.write_ply(args.output)
     print(f"wrote {len(pts)} points to {args.output}", file=sys.stderr)

@@ -100,12 +100,14 @@ def bootstrap_step(cfg: SfMConfig, cam: CameraParams, state: SfMState,
             # both bootstrap keyframes (CSfM.cpp:948-967)
             lms, ids = add_landmarks(
                 state.lms, X, curr.desc[jnp.where(keep, res.idx, 0)],
-                keep, jnp.full((keep.shape[0],), 2, jnp.int32))
+                keep, jnp.full((keep.shape[0],), 2, jnp.int32),
+                colors=curr.color[jnp.where(keep, res.idx, 0)])
             ok = ids >= 0
             # stack the reference-frame descriptors too (the reference adds
             # both views' descriptors, CSfM.cpp:955-961)
             from ..mapstore import add_descriptors
-            lms = add_descriptors(lms, jnp.where(ok, ids, -1), prev.desc)
+            lms = add_descriptors(lms, jnp.where(ok, ids, -1), prev.desc,
+                                  colors=prev.color)
             prev_linked = prev._replace(
                 landmark=jnp.where(ok, ids, -1))
             # out-of-range indices for non-kept entries are dropped

@@ -62,8 +62,10 @@ def _triangulate_with_kf(cfg: SfMConfig, cam: CameraParams, state: SfMState,
         cfg.epipolar_max_error, valid=res.mask)
 
     lms, ids = add_landmarks(lms, X, new_f.desc[jnp.where(keep, res.idx, 0)],
-                             keep, jnp.full_like(res.idx, 2))
-    lms = add_descriptors(lms, jnp.where(ids >= 0, ids, -1), old_f.desc)
+                             keep, jnp.full_like(res.idx, 2),
+                             colors=new_f.color[jnp.where(keep, res.idx, 0)])
+    lms = add_descriptors(lms, jnp.where(ids >= 0, ids, -1), old_f.desc,
+                          colors=old_f.color)
     ok = ids >= 0
     N = cfg.max_keypoints
     old_links = fr.landmark[old_slot].at[
@@ -112,7 +114,8 @@ def _reobserve_in_kf(cfg: SfMConfig, cam: CameraParams, state: SfMState,
     landmark = fr.landmark.at[slot].set(links)
     lms = add_descriptors(
         lms, jnp.where(ok, lm_ids, -1),
-        f.desc[jnp.where(ok, res.idx, 0)])
+        f.desc[jnp.where(ok, res.idx, 0)],
+        colors=f.color[jnp.where(ok, res.idx, 0)])
     kfs = kfs._replace(frames=fr._replace(landmark=landmark))
     return state._replace(kfs=kfs, lms=lms)
 

@@ -99,10 +99,17 @@ def make_frame(cfg: SfMConfig, cam: CameraParams, image: jnp.ndarray,
     pyr = build_pyramid(image, cfg.pyramid_levels)
     desc = describe(pyr, kps, cfg.desc_bits)
     xy_und = undistort_pixels(cam.K, cam.d, cam.Kopt, kps.xy)
+    # sample intensity at the keypoint for landmark coloring (grayscale
+    # replicated; the color path feeds real RGB when available)
+    xi = jnp.clip(kps.xy[:, 0].astype(jnp.int32), 0, cfg.image_width - 1)
+    yi = jnp.clip(kps.xy[:, 1].astype(jnp.int32), 0, cfg.image_height - 1)
+    intensity = image[yi, xi]
+    color = jnp.stack([intensity] * 3, axis=-1)
     return Frame(
         xy=xy_und,
         xy_dist=kps.xy,
         desc=desc,
+        color=color,
         level=kps.level,
         score=kps.score,
         kp_valid=kps.valid,

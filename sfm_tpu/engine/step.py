@@ -115,12 +115,16 @@ class SfMEngine:
         return out
 
     def get_reconstruction(self) -> Tuple[np.ndarray, np.ndarray]:
-        """All live landmark positions (CSfM::getReconstruction).  Returns
-        (points [M,3], valid-mask-trimmed)."""
+        """All live landmark positions and mean observed colors
+        (CSfM::getReconstruction — whose colour output the reference never
+        fills, CSfM.cpp:798-800).  Returns (points [M,3], colors [M,3] u8)."""
+        from ..mapstore import landmark_colors
         lms = self.state.lms
         valid = np.asarray(lms.valid)
         pts = np.asarray(lms.xyz)[valid]
-        return pts, valid
+        cols = np.clip(np.asarray(landmark_colors(lms))[valid], 0,
+                       255).astype(np.uint8)
+        return pts, cols
 
     def get_trajectory(self) -> np.ndarray:
         """Keyframe poses [n, 6] (rvec, tvec) sorted by frame number."""

@@ -134,7 +134,7 @@ def tracking_step(cfg: SfMConfig, cam: CameraParams, state: SfMState,
             kfs, slot = insert_keyframe(st.kfs, curr_wide)
             lms2 = add_descriptors(
                 st.lms, jnp.where(curr_wide.kp_valid, curr_wide.landmark, -1),
-                curr_wide.desc)
+                curr_wide.desc, colors=curr_wide.color)
             st = st._replace(
                 kfs=kfs, lms=lms2,
                 last_kf_frame_no=curr.frame_no,

@@ -38,6 +38,7 @@ class Frame(NamedTuple):
     xy: jnp.ndarray        # [N, 2] f32 undistorted pixels (Kopt model)
     xy_dist: jnp.ndarray   # [N, 2] f32 raw (distorted) detector coords
     desc: jnp.ndarray      # [N, W] uint32 packed descriptors
+    color: jnp.ndarray     # [N, 3] f32 sampled image color at the keypoint
     level: jnp.ndarray     # [N] int32 pyramid level
     score: jnp.ndarray     # [N] f32 detector response
     kp_valid: jnp.ndarray  # [N] bool: keypoint detected
@@ -61,6 +62,7 @@ def empty_frame(n_kp: int, desc_words: int) -> Frame:
         xy=jnp.zeros((n_kp, 2), jnp.float32),
         xy_dist=jnp.zeros((n_kp, 2), jnp.float32),
         desc=jnp.zeros((n_kp, desc_words), jnp.uint32),
+        color=jnp.zeros((n_kp, 3), jnp.float32),
         level=jnp.zeros((n_kp,), jnp.int32),
         score=jnp.zeros((n_kp,), jnp.float32),
         kp_valid=jnp.zeros((n_kp,), bool),
@@ -88,6 +90,7 @@ class LandmarkStore(NamedTuple):
     """Landmark SoA (CMap equivalent).  Capacity L, slot index = id."""
     xyz: jnp.ndarray          # [L, 3] f32
     desc_bitsum: jnp.ndarray  # [L, B] int32 running bit counts
+    color_sum: jnp.ndarray    # [L, 3] f32 running observed-color sum
     n_desc: jnp.ndarray       # [L] int32 descriptors accumulated
     n_views: jnp.ndarray      # [L] int32 tracked-frame views (CMap _ptsViews)
     kf_alive: jnp.ndarray     # [L] int32 age in keyframes (CMap _kfAlive)
@@ -99,6 +102,7 @@ def empty_landmarks(l: int, desc_bits: int) -> LandmarkStore:
     return LandmarkStore(
         xyz=jnp.zeros((l, 3), jnp.float32),
         desc_bitsum=jnp.zeros((l, desc_bits), jnp.int32),
+        color_sum=jnp.zeros((l, 3), jnp.float32),
         n_desc=jnp.zeros((l,), jnp.int32),
         n_views=jnp.zeros((l,), jnp.int32),
         kf_alive=jnp.zeros((l,), jnp.int32),
@@ -123,7 +127,8 @@ def allocate_slots(free: jnp.ndarray, want: jnp.ndarray) -> jnp.ndarray:
 
 
 def add_landmarks(lms: LandmarkStore, xyz: jnp.ndarray, desc: jnp.ndarray,
-                  want: jnp.ndarray, n_initial_views: jnp.ndarray
+                  want: jnp.ndarray, n_initial_views: jnp.ndarray,
+                  colors: jnp.ndarray = None
                   ) -> Tuple[LandmarkStore, jnp.ndarray]:
     """Bulk append (CMap::addNewPoints, CMap.cpp:36-78).
 
@@ -134,10 +139,14 @@ def add_landmarks(lms: LandmarkStore, xyz: jnp.ndarray, desc: jnp.ndarray,
     ok = ids >= 0
     safe = jnp.where(ok, ids, 0)
     bits = unpack_bits(desc).astype(jnp.int32)
+    if colors is None:
+        colors = jnp.zeros(xyz.shape[:1] + (3,), jnp.float32)
     new = LandmarkStore(
         xyz=lms.xyz.at[safe].set(jnp.where(ok[:, None], xyz, lms.xyz[safe])),
         desc_bitsum=lms.desc_bitsum.at[safe].set(
             jnp.where(ok[:, None], bits, lms.desc_bitsum[safe])),
+        color_sum=lms.color_sum.at[safe].set(
+            jnp.where(ok[:, None], colors, lms.color_sum[safe])),
         n_desc=lms.n_desc.at[safe].set(jnp.where(ok, 1, lms.n_desc[safe])),
         n_views=lms.n_views.at[safe].set(
             jnp.where(ok, n_initial_views, lms.n_views[safe])),
@@ -148,17 +157,29 @@ def add_landmarks(lms: LandmarkStore, xyz: jnp.ndarray, desc: jnp.ndarray,
     return new, ids
 
 
-def add_descriptors(lms: LandmarkStore, ids: jnp.ndarray, desc: jnp.ndarray
-                    ) -> LandmarkStore:
-    """Stack one observed descriptor per landmark (CMap::addDescriptors,
-    CMap.cpp:308-315) — here a running bit-count accumulation."""
+def add_descriptors(lms: LandmarkStore, ids: jnp.ndarray, desc: jnp.ndarray,
+                    colors: jnp.ndarray = None) -> LandmarkStore:
+    """Stack one observed descriptor (and color sample) per landmark
+    (CMap::addDescriptors, CMap.cpp:308-315) — here a running bit-count
+    accumulation; colors feed the reconstruction's color output (the gap at
+    CSfM.cpp:798-800)."""
     ok = ids >= 0
     safe = jnp.where(ok, ids, 0)
     bits = unpack_bits(desc).astype(jnp.int32) * ok[:, None]
-    return lms._replace(
+    out = lms._replace(
         desc_bitsum=lms.desc_bitsum.at[safe].add(bits),
         n_desc=lms.n_desc.at[safe].add(ok.astype(jnp.int32)),
     )
+    if colors is not None:
+        out = out._replace(color_sum=out.color_sum.at[safe].add(
+            colors * ok[:, None]))
+    return out
+
+
+def landmark_colors(lms: LandmarkStore) -> jnp.ndarray:
+    """[L, 3] mean observed color per landmark."""
+    return lms.color_sum / jnp.maximum(lms.n_desc[:, None], 1).astype(
+        jnp.float32)
 
 
 def add_views(lms: LandmarkStore, ids: jnp.ndarray) -> LandmarkStore:

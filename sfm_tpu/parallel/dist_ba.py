@@ -26,7 +26,7 @@ from jax import shard_map
 
 from ..ba.residuals import (Observations, residuals_and_jacobians,
                             huber_weights, apply_pose_update)
-from ..ba.core import BAStats, _damp, _dense_cam_system
+from ..ba.core import BAStats, _damp, _dense_cam_system, inv3_sym
 from ..geometry.rotations import exp_so3
 
 
@@ -107,16 +107,16 @@ def build_dist_ba(mesh: Mesh, axis: str, n_cams: int, shard_size: int,
         obs_l = jax.tree.map(lambda x: x[0], obs_l)
         cam_free_f = cam_free.astype(jnp.float32)
         lm_free_f = lm_free_l.astype(jnp.float32)
-        cost0 = jax.lax.psum(local_cost(K, rvec, tvec, xyz_l, obs_l), axis)
+        U0, V0, W0, gc0, gl0, cost_l0 = local_assemble(
+            K, rvec, tvec, xyz_l, obs_l, cam_free_f, lm_free_f)
+        cost0 = jax.lax.psum(cost_l0, axis)
 
         def iter_body(_, carry):
-            rvec, tvec, xyz_l, lam, cost, accepted = carry
-            U_l, V_l, W_l, gc_l, gl_l, _ = local_assemble(
-                K, rvec, tvec, xyz_l, obs_l, cam_free_f, lm_free_f)
-            # global camera-block terms ride ICI: one psum for {U, g_cam,
-            # Schur term, rhs term} fused below
-            Vd = _damp(V_l, lam)
-            Vinv = jnp.linalg.inv(Vd)
+            rvec, tvec, xyz_l, blocks, lam, cost, accepted = carry
+            U_l, V_l, W_l, gc_l, gl_l = blocks
+            # global camera-block terms ride ICI: one fused psum for
+            # {U, g_cam, Schur term, rhs term}
+            Vinv = inv3_sym(_damp(V_l, lam))
             Y = jnp.einsum("clab,lbd->clad", W_l, Vinv)
             S_l = jnp.einsum("clad,mled->cmae", Y, W_l)
             rhs_l = jnp.einsum("clad,ld->ca", Y, gl_l)
@@ -135,20 +135,25 @@ def build_dist_ba(mesh: Mesh, axis: str, n_cams: int, shard_size: int,
             rv_new, tv_new = jax.vmap(apply_pose_update)(
                 rvec, tvec, d_cam[:, :3], d_cam[:, 3:])
             xyz_new = xyz_l + d_lm
-            new_cost = jax.lax.psum(
-                local_cost(K, rv_new, tv_new, xyz_new, obs_l), axis)
+            # trial assembly doubles as the next linearization on accept
+            blocks_new = local_assemble(
+                K, rv_new, tv_new, xyz_new, obs_l, cam_free_f, lm_free_f)
+            new_cost = jax.lax.psum(blocks_new[5], axis)
             ok = (new_cost < cost) & jnp.isfinite(new_cost)
             rvec = jnp.where(ok, rv_new, rvec)
             tvec = jnp.where(ok, tv_new, tvec)
             xyz_l = jnp.where(ok, xyz_new, xyz_l)
+            blocks = jax.tree.map(lambda n, o: jnp.where(ok, n, o),
+                                  blocks_new[:5], blocks)
             lam = jnp.where(ok, jnp.maximum(lam / lam_down, 1e-9),
                             jnp.minimum(lam * lam_up, 1e6))
             cost = jnp.where(ok, new_cost, cost)
-            return rvec, tvec, xyz_l, lam, cost, accepted + ok.astype(jnp.int32)
+            return rvec, tvec, xyz_l, blocks, lam, cost, accepted + ok.astype(jnp.int32)
 
-        rvec, tvec, xyz_l, lam, cost, accepted = jax.lax.fori_loop(
+        rvec, tvec, xyz_l, blocks, lam, cost, accepted = jax.lax.fori_loop(
             0, iterations, iter_body,
-            (rvec, tvec, xyz_l, jnp.asarray(lam0, jnp.float32), cost0,
+            (rvec, tvec, xyz_l, (U0, V0, W0, gc0, gl0),
+             jnp.asarray(lam0, jnp.float32), cost0,
              jnp.asarray(0, jnp.int32)))
         return rvec, tvec, xyz_l, BAStats(cost0, cost, lam, accepted)
 

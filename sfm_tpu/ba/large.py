@@ -1,0 +1,244 @@
+"""Large-scale bundle adjustment: implicit-Schur LM with preconditioned
+conjugate gradients (the BASELINE.json "BA ms/iter at 1k keyframes / global
+BA over ~500 KFs, 50k landmarks" operating point).
+
+The single-scan solver (core.py) materializes the camera-landmark coupling
+W as [C, L, 6, 3]; at 1k cameras x 100k landmarks that is terabytes.  Here
+the reduced camera system S = U - W V^-1 W^T is never materialized: CG
+computes S.x through the observation tables.
+
+Scatter-free layout: observations are stored TWICE, in a camera-major
+table [C, nmax] and a landmark-major table [L, kmax] (dual CSR).  Every
+reduction in the solver is then a dense sum over a table axis in the
+layout that makes it scatter-free:
+  - U, g_cam: sum over the camera-major axis;
+  - V, g_lm, W^T x: sum over the landmark-major axis;
+  - W z (per camera): sum over the camera-major axis with z gathered.
+Jacobian blocks are computed in both layouts (cheap, elementwise) — this
+trades 2x flops on tiny closed forms for the removal of every scatter,
+which is the right trade on TPU.  Gauge/padding freezes via masks.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..geometry.rotations import exp_so3
+from .residuals import Observations, residuals_and_jacobians, huber_weights, \
+    apply_pose_update
+from .core import BAStats, inv3_sym, _damp
+
+
+class ObsTables(NamedTuple):
+    """Dual-layout observation tables.  Invalid slots have w == 0 and an
+    in-range dummy index."""
+    lm_cam: jnp.ndarray   # [L, kmax] int32 camera index
+    lm_uv: jnp.ndarray    # [L, kmax, 2]
+    lm_w: jnp.ndarray     # [L, kmax]
+    cam_lm: jnp.ndarray   # [C, nmax] int32 landmark index
+    cam_uv: jnp.ndarray   # [C, nmax, 2]
+    cam_w: jnp.ndarray    # [C, nmax]
+
+
+def build_tables(obs: Observations, n_cams: int, n_lms: int,
+                 nmax: int, kmax: int) -> ObsTables:
+    """Host-side: bucket a COO observation list into both table layouts.
+    Overflowing observations are dropped (with a count available via the
+    returned tables' weights vs the input)."""
+    cam_idx = np.asarray(obs.cam_idx)
+    lm_idx = np.asarray(obs.lm_idx)
+    uv = np.asarray(obs.uv)
+    w = np.asarray(obs.w)
+    live = w > 0
+
+    lm_cam = np.zeros((n_lms, kmax), np.int32)
+    lm_uv = np.zeros((n_lms, kmax, 2), np.float32)
+    lm_w = np.zeros((n_lms, kmax), np.float32)
+    cam_lm = np.zeros((n_cams, nmax), np.int32)
+    cam_uv = np.zeros((n_cams, nmax, 2), np.float32)
+    cam_w = np.zeros((n_cams, nmax), np.float32)
+
+    fill_l = np.zeros(n_lms, np.int32)
+    fill_c = np.zeros(n_cams, np.int32)
+    for o in np.nonzero(live)[0]:
+        l, c = lm_idx[o], cam_idx[o]
+        # an observation must fit in BOTH tables to stay consistent
+        if fill_l[l] >= kmax or fill_c[c] >= nmax:
+            continue
+        lm_cam[l, fill_l[l]] = c
+        lm_uv[l, fill_l[l]] = uv[o]
+        lm_w[l, fill_l[l]] = w[o]
+        fill_l[l] += 1
+        cam_lm[c, fill_c[c]] = l
+        cam_uv[c, fill_c[c]] = uv[o]
+        cam_w[c, fill_c[c]] = w[o]
+        fill_c[c] += 1
+    return ObsTables(jnp.asarray(lm_cam), jnp.asarray(lm_uv),
+                     jnp.asarray(lm_w), jnp.asarray(cam_lm),
+                     jnp.asarray(cam_uv), jnp.asarray(cam_w))
+
+
+def _blocks_in_layout(K, R, tvec, xyz, cam_idx_t, lm_idx_t, uv_t, w_t,
+                      cam_free_f, lm_free_f, huber_delta):
+    """Residuals + masked Jacobian blocks for one table layout.
+    Shapes: table [..., 2] etc with leading table dims flattened."""
+    shape = cam_idx_t.shape
+    obs = Observations(cam_idx=cam_idx_t.reshape(-1),
+                       lm_idx=lm_idx_t.reshape(-1),
+                       uv=uv_t.reshape(-1, 2),
+                       w=w_t.reshape(-1))
+    r, A, B = residuals_and_jacobians(K, R, tvec, xyz, obs)
+    w = obs.w * huber_weights(r, huber_delta)
+    A = A * (w * cam_free_f[obs.cam_idx])[:, None, None]
+    B = B * (w * lm_free_f[obs.lm_idx])[:, None, None]
+    rw = r * w[:, None]
+    return (r.reshape(*shape, 2), A.reshape(*shape, 2, 6),
+            B.reshape(*shape, 2, 3), rw.reshape(*shape, 2),
+            w.reshape(shape))
+
+
+def run_large_ba(K, rvec, tvec, xyz, tables: ObsTables, *,
+                 cam_free, lm_free, iterations: int = 15,
+                 cg_iterations: int = 25, lam0: float = 1e-3,
+                 lam_up: float = 4.0, lam_down: float = 2.0,
+                 huber_delta: float = 0.0, tol: float = 1e-4
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, BAStats]:
+    """Implicit-Schur LM: outer damping loop, inner block-Jacobi PCG on the
+    reduced camera system.  All reductions are table-axis sums."""
+    C = rvec.shape[0]
+    L = xyz.shape[0]
+    cam_free_f = cam_free.astype(jnp.float32)
+    lm_free_f = lm_free.astype(jnp.float32)
+
+    def linearize(rvec, tvec, xyz):
+        R = exp_so3(rvec)
+        # landmark-major blocks
+        r_l, A_l, B_l, rw_l, w_l = _blocks_in_layout(
+            K, R, tvec, xyz, tables.lm_cam, _lm_self(L, tables.lm_cam),
+            tables.lm_uv, tables.lm_w, cam_free_f, lm_free_f, huber_delta)
+        # camera-major blocks
+        r_c, A_c, B_c, rw_c, w_c = _blocks_in_layout(
+            K, R, tvec, xyz, _cam_self(C, tables.cam_lm), tables.cam_lm,
+            tables.cam_uv, tables.cam_w, cam_free_f, lm_free_f, huber_delta)
+        U = jnp.einsum("cjia,cjib->cab", A_c, A_c)           # [C,6,6]
+        g_cam = -jnp.einsum("cjia,cji->ca", A_c, rw_c)       # [C,6]
+        V = jnp.einsum("lkia,lkib->lab", B_l, B_l)           # [L,3,3]
+        g_lm = -jnp.einsum("lkia,lki->la", B_l, rw_l)        # [L,3]
+        W_l = jnp.einsum("lkia,lkib->lkab", A_l, B_l)        # [L,kmax,6,3]
+        W_c = jnp.einsum("cjia,cjib->cjab", A_c, B_c)        # [C,nmax,6,3]
+        cost = jnp.sum(jnp.sum(r_l * r_l, -1) * w_l)
+        return (U, V, W_l, W_c, g_cam, g_lm), cost
+
+    def schur_matvec(blocks, Vinv, x):
+        """S.x for x [C,6]: U x - W V^-1 W^T x via the tables."""
+        U, V, W_l, W_c, g_cam, g_lm = blocks
+        Ux = jnp.einsum("cab,cb->ca", _damp_ref(U), x)
+        # t_l = sum_k W_lk^T x_cam  -> [L,3]
+        x_at = x[tables.lm_cam]                               # [L,kmax,6]
+        t = jnp.einsum("lkab,lka->lb", W_l, x_at)
+        z = jnp.einsum("lab,lb->la", Vinv, t)                 # [L,3]
+        # y_c = sum_j W_cj z_lm  -> [C,6]
+        z_at = z[tables.cam_lm]                               # [C,nmax,3]
+        y = jnp.einsum("cjab,cjb->ca", W_c, z_at)
+        return Ux - y
+
+    def body(carry):
+        rvec, tvec, xyz, blocks, cost, lam, accepted, done = carry
+        U, V, W_l, W_c, g_cam, g_lm = blocks
+        Vinv = inv3_sym(_damp(V, lam))
+
+        nonlocal_damp = lam  # captured by _damp_ref via closure below
+
+        def matvec(x):
+            Ux = jnp.einsum("cab,cb->ca", _damp(U, lam), x)
+            x_at = x[tables.lm_cam]
+            t = jnp.einsum("lkab,lka->lb", W_l, x_at)
+            z = jnp.einsum("lab,lb->la", Vinv, t)
+            z_at = z[tables.cam_lm]
+            y = jnp.einsum("cjab,cjb->ca", W_c, z_at)
+            return Ux - y
+
+        # rhs = g_cam - W V^-1 g_lm
+        zg = jnp.einsum("lab,lb->la", Vinv, g_lm)
+        zg_at = zg[tables.cam_lm]
+        rhs = g_cam - jnp.einsum("cjab,cjb->ca", W_c, zg_at)
+
+        # block-Jacobi preconditioner: damped U block inverses
+        Ud = _damp(U, lam)
+        M_inv = jnp.linalg.inv(Ud + 1e-6 * jnp.eye(6))
+
+        def precond(v):
+            return jnp.einsum("cab,cb->ca", M_inv, v)
+
+        # PCG, fixed trip count
+        x0 = jnp.zeros_like(rhs)
+        r0 = rhs - matvec(x0)
+        z0 = precond(r0)
+
+        def cg_body(_, cg):
+            x, r, z, p = cg
+            Ap = matvec(p)
+            rz = jnp.sum(r * z)
+            alpha = rz / jnp.maximum(jnp.sum(p * Ap), 1e-12)
+            x = x + alpha * p
+            r_new = r - alpha * Ap
+            z_new = precond(r_new)
+            beta = jnp.sum(r_new * z_new) / jnp.maximum(rz, 1e-12)
+            p = z_new + beta * p
+            return x, r_new, z_new, p
+
+        d_cam, _, _, _ = jax.lax.fori_loop(
+            0, cg_iterations, cg_body, (x0, r0, z0, z0))
+        d_cam = d_cam * cam_free_f[:, None]
+
+        # back-substitution: d_lm = Vinv (g_lm - W^T d_cam)
+        dc_at = d_cam[tables.lm_cam]
+        t = jnp.einsum("lkab,lka->lb", W_l, dc_at)
+        d_lm = jnp.einsum("lab,lb->la", Vinv, g_lm - t) * lm_free_f[:, None]
+
+        rv_new, tv_new = jax.vmap(apply_pose_update)(
+            rvec, tvec, d_cam[:, :3], d_cam[:, 3:])
+        xyz_new = xyz + d_lm
+        blocks_new, new_cost = linearize(rv_new, tv_new, xyz_new)
+        ok = (new_cost < cost) & jnp.isfinite(new_cost)
+        rvec = jnp.where(ok, rv_new, rvec)
+        tvec = jnp.where(ok, tv_new, tvec)
+        xyz = jnp.where(ok, xyz_new, xyz)
+        blocks = jax.tree.map(lambda n, o: jnp.where(ok, n, o),
+                              blocks_new, blocks)
+        lam = jnp.where(ok, jnp.maximum(lam / lam_down, 1e-9),
+                        jnp.minimum(lam * lam_up, 1e6))
+        done = done | (ok & (cost - new_cost < tol * jnp.maximum(cost, 1.0)))
+        cost = jnp.where(ok, new_cost, cost)
+        return rvec, tvec, xyz, blocks, cost, lam, \
+            accepted + ok.astype(jnp.int32), done
+
+    blocks0, cost0 = linearize(rvec, tvec, xyz)
+
+    def loop_body(_, carry):
+        return jax.lax.cond(carry[-1], lambda c: c, body, carry)
+
+    rvec, tvec, xyz, blocks, cost, lam, accepted, done = jax.lax.fori_loop(
+        0, iterations, loop_body,
+        (rvec, tvec, xyz, blocks0, cost0, jnp.asarray(lam0, jnp.float32),
+         jnp.asarray(0, jnp.int32), jnp.asarray(False)))
+    return rvec, tvec, xyz, BAStats(cost0, cost, lam, accepted)
+
+
+def _lm_self(L, lm_cam):
+    """Landmark self-indices broadcast to the lm-major table shape."""
+    return jnp.broadcast_to(
+        jnp.arange(L, dtype=jnp.int32)[:, None], lm_cam.shape)
+
+
+def _cam_self(C, cam_lm):
+    return jnp.broadcast_to(
+        jnp.arange(C, dtype=jnp.int32)[:, None], cam_lm.shape)
+
+
+def _damp_ref(U):  # placeholder kept for clarity in schur_matvec docstring
+    return U

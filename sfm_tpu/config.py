@@ -79,6 +79,7 @@ class SfMConfig:
     ba_lambda_up: float = 4.0
     ba_lambda_down: float = 2.0
     ba_huber_delta: float = 0.0        # 0 disables robust loss (ref uses NULL loss)
+    ba_tol: float = 3e-4               # relative cost-decrease early-exit
 
     # ---- scan guidance (ref: CScanGuidance.cpp:11-21) ----
     guidance_downscale: int = 4

@@ -129,13 +129,16 @@ def bootstrap_step(cfg: SfMConfig, cam: CameraParams, state: SfMState,
                 cam_free=cam_free, lm_free=lms.valid,
                 mode=BAMode.STRUCT_AND_POSE, iterations=cfg.ba_iterations,
                 lam0=cfg.ba_lambda_init, lam_up=cfg.ba_lambda_up,
-                lam_down=cfg.ba_lambda_down, huber_delta=cfg.ba_huber_delta)
+                lam_down=cfg.ba_lambda_down, huber_delta=cfg.ba_huber_delta,
+                tol=cfg.ba_tol)
             kfs = kfs._replace(frames=kfs.frames._replace(rvec=rv, tvec=tv))
             lms2 = lms._replace(xyz=xyz, t_alive=lms.t_alive + lms.valid,
                                 kf_alive=lms.kf_alive + lms.valid)
             new_prev = curr_posed._replace(rvec=rv[1], tvec=tv[1])
+            from ..mapstore import representative_descriptors
             st = state._replace(
                 status=jnp.asarray(RUNNING, jnp.int32),
+                rep_desc=representative_descriptors(lms2),
                 prev=new_prev, kfs=kfs, lms=lms2, key=key,
                 last_kf_frame_no=curr.frame_no,
                 last_kf_tracked=jnp.sum(keep).astype(jnp.int32),

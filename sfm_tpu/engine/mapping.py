@@ -101,7 +101,7 @@ def _reobserve_in_kf(cfg: SfMConfig, cam: CameraParams, state: SfMState,
     in_img = ((proj[:, 0] >= 0) & (proj[:, 0] < W) &
               (proj[:, 1] >= 0) & (proj[:, 1] < H) & (depth > 0))
     cand = lms.valid & ~already & in_img & kfs.valid[slot]
-    rep = representative_descriptors(lms)
+    rep = state.rep_desc
     res = match_features(
         rep, proj, cand, f.desc, f.xy, f.kp_valid & ~linked,
         min_radius=0.0, max_radius=cfg.max_reproj_error,
@@ -169,10 +169,12 @@ def mapping_pass(cfg: SfMConfig, cam: CameraParams, state: SfMState,
         cam_free=cam_free, lm_free=lms.valid,
         mode=BAMode.STRUCT_AND_POSE, iterations=cfg.ba_iterations,
         lam0=cfg.ba_lambda_init, lam_up=cfg.ba_lambda_up,
-        lam_down=cfg.ba_lambda_down, huber_delta=cfg.ba_huber_delta)
+        lam_down=cfg.ba_lambda_down, huber_delta=cfg.ba_huber_delta,
+                tol=cfg.ba_tol)
     kfs = kfs._replace(frames=kfs.frames._replace(rvec=rv, tvec=tv))
     lms = lms._replace(xyz=xyz)
 
     # 6. age the map in keyframes (CSfM.cpp:304)
     lms = increment_age(lms, 0, 1)
-    return state._replace(kfs=kfs, lms=lms, prev=prev)
+    return state._replace(kfs=kfs, lms=lms, prev=prev,
+                          rep_desc=representative_descriptors(lms))

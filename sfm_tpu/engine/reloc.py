@@ -20,7 +20,7 @@ def reloc_step(cfg: SfMConfig, cam: CameraParams, state: SfMState,
                frame) -> tuple:
     lms = state.lms
     key, k_pnp = jax.random.split(state.key)
-    rep = representative_descriptors(lms)
+    rep = state.rep_desc
     # global match: no window (radius covers the whole image)
     res = match_features(
         rep, jnp.zeros((lms.valid.shape[0], 2)), lms.valid,

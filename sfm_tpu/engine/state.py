@@ -45,6 +45,9 @@ class SfMState(NamedTuple):
     lost_count: jnp.ndarray        # consecutive low-match frames
     init_fail_count: jnp.ndarray   # bootstrap anti-stall (CSfM.cpp:997-999)
     key: jnp.ndarray               # PRNG key for RANSAC sampling
+    rep_desc: jnp.ndarray          # [L, W] cached landmark majority
+                                   # descriptors (stale only within a
+                                   # mapping pass; refreshed at its end)
 
 
 class StepMetrics(NamedTuple):
@@ -86,6 +89,7 @@ def init_state(cfg: SfMConfig) -> SfMState:
         lost_count=jnp.asarray(0, jnp.int32),
         init_fail_count=jnp.asarray(0, jnp.int32),
         key=jax.random.PRNGKey(0),
+        rep_desc=jnp.zeros((cfg.max_landmarks, cfg.desc_words), jnp.uint32),
     )
 
 

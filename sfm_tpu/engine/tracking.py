@@ -25,7 +25,7 @@ from .state import SfMState, StepMetrics, zero_metrics, CameraParams, \
     RUNNING, LOST
 
 
-def widen_tracks(cfg: SfMConfig, cam: CameraParams, lms, curr):
+def widen_tracks(cfg: SfMConfig, cam: CameraParams, lms, curr, rep):
     """findMapPointsInCurrentFrame (CSfM.cpp:633-690): project unseen valid
     landmarks into the frame and match them (reprojection-guided window)
     against still-unmatched detections.  Returns the updated frame and the
@@ -44,7 +44,6 @@ def widen_tracks(cfg: SfMConfig, cam: CameraParams, lms, curr):
               (proj[:, 1] >= 0) & (proj[:, 1] < H) & (depth > 0))
     cand = lms.valid & ~already & in_img
 
-    rep = representative_descriptors(lms)
     tgt_valid = curr.kp_valid & ~(curr.landmark >= 0)
     res = match_features(
         rep, proj, cand, curr.desc, curr.xy, tgt_valid,
@@ -116,7 +115,8 @@ def tracking_step(cfg: SfMConfig, cam: CameraParams, state: SfMState,
         lms = add_views(lms, jnp.where(inl, prev.landmark, -1))
 
         # widen with reprojected unseen landmarks (CSfM.cpp:585)
-        curr_wide, n_widened = widen_tracks(cfg, cam, lms, curr_linked)
+        curr_wide, n_widened = widen_tracks(cfg, cam, lms, curr_linked,
+                                            state.rep_desc)
         n_tracked = jnp.sum(curr_wide.kp_valid & (curr_wide.landmark >= 0))
 
         err = reprojection_errors(

@@ -2,13 +2,17 @@
 path, run synchronously after keyframe insertion like the reference (which
 collapsed ORB-SLAM's mapping thread into addFrame, CSfM.cpp:77-79).
 
-Phases, mirroring §3.4 of SURVEY.md:
- 1. new-point triangulation: the new keyframe against every older keyframe
-    (the covisibility graph is "all keyframes" in the reference,
-    CSfM.cpp:123-126) — a lax.fori_loop carrying the stores, preserving the
-    reference's serial leftover-matching semantics;
+Phases, mirroring §3.4 of SURVEY.md, but batched instead of the reference's
+serial keyframe loop:
+ 1. new-point triangulation: the new keyframe is matched against ALL older
+    keyframes in one vmap (the covisibility graph is "all keyframes" in the
+    reference, CSfM.cpp:123-126); when several old keyframes match the same
+    new-keyframe keypoint, the OLDEST wins (replacing the reference's
+    serial leftover-matching semantics with an order-free equivalent), and
+    all surviving candidates insert in one bulk add;
  2. re-observation: project unlinked landmarks into every keyframe and
-    match with a reprojection-guided window (generalizes CSfM.cpp:190-221);
+    match with a reprojection-guided window (generalizes CSfM.cpp:190-221)
+    — vmapped in chunks to bound the distance-matrix footprint;
  3. landmark culling (CMap policy) + link clearing;
  4. keyframe culling (CSfM.cpp:708-752);
  5. full-map bundle adjustment, gauge-fixed on the oldest keyframe;
@@ -24,125 +28,141 @@ from ..ba import BAMode, observations_from_keyframes, run_ba
 from ..features.match import match_features
 from ..geometry.camera import project, depths
 from ..geometry.epipolar import fundamental_from_poses, filter_matches_epipolar
-from ..geometry.triangulate import triangulate_pair
+from ..geometry.triangulate import triangulate_pair, projection_matrix
 from ..mapstore import (add_landmarks, add_descriptors, clear_links,
                         cull_landmarks, cull_keyframes, kf_view_counts,
                         representative_descriptors, increment_age)
 from .state import SfMState, CameraParams
 
+_REOBS_CHUNK = 8   # keyframes re-observed per vmapped batch
 
-def _triangulate_with_kf(cfg: SfMConfig, cam: CameraParams, state: SfMState,
-                         new_slot, old_slot):
-    """Match unmatched<->unmatched between the new KF and one older KF,
-    triangulate, filter, insert landmarks, link both keyframes
-    (CSfM.cpp:138-185)."""
+
+def _triangulate_all_pairs(cfg: SfMConfig, cam: CameraParams,
+                           state: SfMState, new_slot) -> SfMState:
+    """Batched CSfM.cpp:130-185: match unmatched(new KF) vs unmatched(every
+    older KF), triangulate + filter each pair, resolve cross-pair conflicts
+    oldest-first, bulk-insert, and link both sides."""
     kfs, lms = state.kfs, state.lms
     fr = kfs.frames
+    Kn, N = fr.landmark.shape
     new_f = jax.tree.map(lambda x: x[new_slot], fr)
-    old_f = jax.tree.map(lambda x: x[old_slot], fr)
+    tgt_valid = new_f.kp_valid & (new_f.landmark < 0)
+    P_new = cam.Kopt @ projection_matrix(new_f.rvec, new_f.tvec)
 
-    src_valid = old_f.kp_valid & (old_f.landmark < 0) & kfs.valid[old_slot]
-    tgt_valid = new_f.kp_valid & (new_f.landmark < 0) & kfs.valid[new_slot]
-    usable = (old_slot != new_slot) & kfs.valid[old_slot]
-    res = match_features(
-        old_f.desc, old_f.xy, src_valid & usable,
-        new_f.desc, new_f.xy, tgt_valid,
-        min_radius=cfg.match_min_radius, max_radius=cfg.mapping_max_radius,
-        max_distance=cfg.match_max_distance, ratio=cfg.match_ratio)
+    def one_pair(old_slot):
+        old_f = jax.tree.map(lambda x: x[old_slot], fr)
+        usable = (old_slot != new_slot) & kfs.valid[old_slot]
+        src_valid = old_f.kp_valid & (old_f.landmark < 0) & usable
+        res = match_features(
+            old_f.desc, old_f.xy, src_valid,
+            new_f.desc, new_f.xy, tgt_valid,
+            min_radius=cfg.match_min_radius,
+            max_radius=cfg.mapping_max_radius,
+            max_distance=cfg.match_max_distance, ratio=cfg.match_ratio)
+        uv0 = old_f.xy
+        uv1 = new_f.xy[jnp.where(res.mask, res.idx, 0)]
+        P0 = cam.Kopt @ projection_matrix(old_f.rvec, old_f.tvec)
+        X = triangulate_pair(P0, P_new, uv0, uv1)
+        F = fundamental_from_poses(cam.Kopt, old_f.rvec, old_f.tvec,
+                                   cam.Kopt, new_f.rvec, new_f.tvec)
+        keep = filter_matches_epipolar(
+            F, uv0, uv1, X, old_f.rvec, old_f.tvec, new_f.rvec, new_f.tvec,
+            cfg.epipolar_max_error, valid=res.mask)
+        return res.idx, keep, X
 
-    uv0 = old_f.xy
-    uv1 = new_f.xy[jnp.where(res.mask, res.idx, 0)]
-    P0 = cam.Kopt @ _pmat(old_f.rvec, old_f.tvec)
-    P1 = cam.Kopt @ _pmat(new_f.rvec, new_f.tvec)
-    X = triangulate_pair(P0, P1, uv0, uv1)
-    F = fundamental_from_poses(cam.Kopt, old_f.rvec, old_f.tvec,
-                               cam.Kopt, new_f.rvec, new_f.tvec)
-    keep = filter_matches_epipolar(
-        F, uv0, uv1, X, old_f.rvec, old_f.tvec, new_f.rvec, new_f.tvec,
-        cfg.epipolar_max_error, valid=res.mask)
+    idxs, keeps, Xs = jax.vmap(one_pair)(jnp.arange(Kn))  # [K,N],[K,N],[K,N,3]
 
-    lms, ids = add_landmarks(lms, X, new_f.desc[jnp.where(keep, res.idx, 0)],
-                             keep, jnp.full_like(res.idx, 2),
-                             colors=new_f.color[jnp.where(keep, res.idx, 0)])
-    lms = add_descriptors(lms, jnp.where(ids >= 0, ids, -1), old_f.desc,
-                          colors=old_f.color)
+    # conflict resolution: per new-KF keypoint, the OLDEST keyframe's match
+    # wins (the reference processes keyframes serially so earlier ones claim
+    # targets first)
+    prio = jnp.where(kfs.valid, fr.frame_no, 2**30)       # [K]
+    tgt = jnp.where(keeps, idxs, N)                        # [K,N]
+    cand_prio = jnp.broadcast_to(prio[:, None], tgt.shape)
+    best_prio = jnp.full((N + 1,), 2**30, jnp.int32).at[tgt.reshape(-1)].min(
+        cand_prio.reshape(-1))
+    winner = keeps & (cand_prio == best_prio[tgt])
+
+    # bulk insert all winners
+    flat_keep = winner.reshape(-1)
+    flat_tgt = jnp.where(flat_keep, tgt.reshape(-1), 0)
+    lms, ids = add_landmarks(
+        lms, Xs.reshape(-1, 3), new_f.desc[flat_tgt], flat_keep,
+        jnp.full_like(flat_tgt, 2), colors=new_f.color[flat_tgt])
+    # stack the old-keyframe observation descriptor too (candidate (k, i)
+    # aligns with the flattened keyframe keypoint table)
+    lms = add_descriptors(lms, jnp.where(ids >= 0, ids, -1),
+                          fr.desc.reshape(-1, fr.desc.shape[-1]),
+                          colors=fr.color.reshape(-1, 3))
     ok = ids >= 0
-    N = cfg.max_keypoints
-    old_links = fr.landmark[old_slot].at[
-        jnp.where(ok, jnp.arange(N), N)].set(ids, mode="drop")
-    new_links = fr.landmark[new_slot].at[
-        jnp.where(ok, res.idx, N)].set(ids, mode="drop")
-    landmark = fr.landmark.at[old_slot].set(old_links)
+
+    # link old keyframes: candidate (k, i) -> ids
+    landmark = fr.landmark.reshape(-1).at[
+        jnp.where(ok, jnp.arange(Kn * N), Kn * N)].set(
+            ids, mode="drop").reshape(Kn, N)
+    # link the new keyframe: target j -> ids
+    new_links = landmark[new_slot].at[
+        jnp.where(ok, tgt.reshape(-1), N)].set(ids, mode="drop")
     landmark = landmark.at[new_slot].set(new_links)
     kfs = kfs._replace(frames=fr._replace(landmark=landmark))
     return state._replace(kfs=kfs, lms=lms)
 
 
-def _pmat(rvec, tvec):
-    from ..geometry.triangulate import projection_matrix
-    return projection_matrix(rvec, tvec)
-
-
-def _reobserve_in_kf(cfg: SfMConfig, cam: CameraParams, state: SfMState,
-                     slot):
-    """Project unlinked landmarks into keyframe ``slot`` and match them with
-    a reprojection-radius window (CSfM.cpp:190-221's widening, generalized
-    to all landmarks)."""
+def _reobserve_all(cfg: SfMConfig, cam: CameraParams, state: SfMState
+                   ) -> SfMState:
+    """Batched re-observation over all keyframes (chunked vmap)."""
     kfs, lms = state.kfs, state.lms
     fr = kfs.frames
-    f = jax.tree.map(lambda x: x[slot], fr)
+    Kn, N = fr.landmark.shape
     L = lms.valid.shape[0]
-    linked = f.landmark >= 0
-    safe = jnp.where(linked, f.landmark, 0)
-    already = jnp.zeros((L,), bool).at[safe].set(linked, mode="drop")
-    proj = project(cam.Kopt, f.rvec, f.tvec, lms.xyz)
-    depth = depths(f.rvec, f.tvec, lms.xyz)
     H, W = cfg.image_size
-    in_img = ((proj[:, 0] >= 0) & (proj[:, 0] < W) &
-              (proj[:, 1] >= 0) & (proj[:, 1] < H) & (depth > 0))
-    cand = lms.valid & ~already & in_img & kfs.valid[slot]
     rep = state.rep_desc
-    res = match_features(
-        rep, proj, cand, f.desc, f.xy, f.kp_valid & ~linked,
-        min_radius=0.0, max_radius=cfg.max_reproj_error,
-        max_distance=cfg.match_max_distance, ratio=cfg.match_ratio,
-        window_center0=proj)
-    ok = res.mask
-    lm_ids = jnp.arange(L, dtype=jnp.int32)
-    links = f.landmark.at[
-        jnp.where(ok, res.idx, f.landmark.shape[0])].set(lm_ids, mode="drop")
-    landmark = fr.landmark.at[slot].set(links)
-    lms = add_descriptors(
-        lms, jnp.where(ok, lm_ids, -1),
-        f.desc[jnp.where(ok, res.idx, 0)],
-        colors=f.color[jnp.where(ok, res.idx, 0)])
-    kfs = kfs._replace(frames=fr._replace(landmark=landmark))
+
+    def one(slot):
+        f = jax.tree.map(lambda x: x[slot], fr)
+        linked = f.landmark >= 0
+        safe = jnp.where(linked, f.landmark, 0)
+        already = jnp.zeros((L,), bool).at[safe].set(linked, mode="drop")
+        proj = project(cam.Kopt, f.rvec, f.tvec, lms.xyz)
+        depth = depths(f.rvec, f.tvec, lms.xyz)
+        in_img = ((proj[:, 0] >= 0) & (proj[:, 0] < W) &
+                  (proj[:, 1] >= 0) & (proj[:, 1] < H) & (depth > 0))
+        cand = lms.valid & ~already & in_img & kfs.valid[slot]
+        res = match_features(
+            rep, proj, cand, f.desc, f.xy, f.kp_valid & ~linked,
+            min_radius=0.0, max_radius=cfg.max_reproj_error,
+            max_distance=cfg.match_max_distance, ratio=cfg.match_ratio,
+            window_center0=proj)
+        ok = res.mask
+        lm_ids = jnp.arange(L, dtype=jnp.int32)
+        links = f.landmark.at[
+            jnp.where(ok, res.idx, N)].set(lm_ids, mode="drop")
+        return links
+
+    chunk = max(d for d in range(1, min(_REOBS_CHUNK, Kn) + 1)
+                if Kn % d == 0)
+    slots = jnp.arange(Kn).reshape(-1, chunk)
+    links = jax.lax.map(lambda s: jax.vmap(one)(s), slots)
+    links = links.reshape(Kn, N)
+
+    # newly created links get their observing frame's descriptor + color
+    newly = (links >= 0) & (fr.landmark < 0)
+    flat_ids = jnp.where(newly, links, -1).reshape(-1)
+    lms = add_descriptors(lms, flat_ids,
+                          fr.desc.reshape(-1, fr.desc.shape[-1]),
+                          colors=fr.color.reshape(-1, 3))
+    kfs = kfs._replace(frames=fr._replace(landmark=links))
     return state._replace(kfs=kfs, lms=lms)
 
 
 def mapping_pass(cfg: SfMConfig, cam: CameraParams, state: SfMState,
                  new_slot) -> SfMState:
-    K = cfg.max_keyframes
     L = cfg.max_landmarks
 
-    # 1. triangulate the new keyframe against every older keyframe, serially
-    #    (later pairs only see leftovers, as in the reference's loop)
-    def tri_body(i, st):
-        return jax.lax.cond(
-            (i != new_slot) & st.kfs.valid[i],
-            lambda s: _triangulate_with_kf(cfg, cam, s, new_slot, i),
-            lambda s: s, st)
+    # 1. batched pairwise triangulation
+    state = _triangulate_all_pairs(cfg, cam, state, new_slot)
 
-    state = jax.lax.fori_loop(0, K, tri_body, state)
-
-    # 2. re-observation pass over every keyframe
-    def reobs_body(i, st):
-        return jax.lax.cond(
-            st.kfs.valid[i],
-            lambda s: _reobserve_in_kf(cfg, cam, s, i),
-            lambda s: s, st)
-
-    state = jax.lax.fori_loop(0, K, reobs_body, state)
+    # 2. batched re-observation pass
+    state = _reobserve_all(cfg, cam, state)
 
     # 3. landmark culling + link clearing (CSfM.cpp:237, 692-706)
     views = kf_view_counts(state.kfs, L)
@@ -170,7 +190,7 @@ def mapping_pass(cfg: SfMConfig, cam: CameraParams, state: SfMState,
         mode=BAMode.STRUCT_AND_POSE, iterations=cfg.ba_iterations,
         lam0=cfg.ba_lambda_init, lam_up=cfg.ba_lambda_up,
         lam_down=cfg.ba_lambda_down, huber_delta=cfg.ba_huber_delta,
-                tol=cfg.ba_tol)
+        tol=cfg.ba_tol)
     kfs = kfs._replace(frames=kfs.frames._replace(rvec=rv, tvec=tv))
     lms = lms._replace(xyz=xyz)
 

@@ -1,0 +1,78 @@
+"""BA speed benchmark: ms per LM iteration at the BASELINE.json operating
+points (global BA at ~500-1000 keyframes, 50k-100k landmarks) using the
+implicit-Schur PCG solver.
+
+Usage: python benchmarks/bench_ba.py [n_cams] [n_landmarks]
+Prints one JSON line: {"metric": "ba_ms_per_iter", ...}."""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main(n_cams=1000, n_lms=100_000, obs_per_lm=6, iters=8, cg_iters=25):
+    import jax
+    import jax.numpy as jnp
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    from sfm_tpu.ba import Observations
+    from sfm_tpu.ba.large import build_tables, run_large_ba
+
+    rng = np.random.default_rng(0)
+    # synthetic loopy trajectory observing a landmark field
+    X = np.stack([rng.uniform(-50, 50, n_lms), rng.uniform(-10, 10, n_lms),
+                  rng.uniform(20, 60, n_lms)], 1).astype(np.float32)
+    K = np.array([[525.0, 0, 320], [0, 525.0, 240], [0, 0, 1]], np.float32)
+    cam_t = np.stack([np.linspace(-40, 40, n_cams),
+                      np.zeros(n_cams), np.zeros(n_cams)], 1).astype(np.float32)
+    # each landmark observed by obs_per_lm nearby cameras
+    base = rng.integers(0, n_cams - obs_per_lm, n_lms)
+    lm_idx = np.repeat(np.arange(n_lms), obs_per_lm).astype(np.int32)
+    cam_idx = (base[:, None] + np.arange(obs_per_lm)[None, :]).reshape(-1)
+    cam_idx = cam_idx.astype(np.int32)
+    p = X[lm_idx] + cam_t[cam_idx]
+    uv = (p[:, :2] / p[:, 2:]) * 525.0 + np.array([320.0, 240.0])
+    obs = Observations(jnp.asarray(cam_idx), jnp.asarray(lm_idx),
+                       jnp.asarray(uv.astype(np.float32)),
+                       jnp.ones(len(cam_idx), jnp.float32))
+    nmax = int(np.bincount(cam_idx, minlength=n_cams).max())
+    print(f"building tables: {len(cam_idx)} obs, nmax={nmax}",
+          file=sys.stderr)
+    tables = build_tables(obs, n_cams, n_lms, nmax=nmax, kmax=obs_per_lm)
+
+    rv0 = jnp.zeros((n_cams, 3)).at[1:].add(0.002)
+    tv0 = jnp.asarray(cam_t)
+    X0 = jnp.asarray(X) + jnp.asarray(
+        rng.normal(0, 0.05, X.shape).astype(np.float32))
+    cam_free = jnp.ones(n_cams, bool).at[0].set(False)
+    lm_free = jnp.ones(n_lms, bool)
+
+    f = jax.jit(lambda rv, tv, X: run_large_ba(
+        jnp.asarray(K), rv, tv, X, tables, cam_free=cam_free,
+        lm_free=lm_free, iterations=iters, cg_iterations=cg_iters,
+        tol=0.0))
+    t0 = time.time()
+    out = f(rv0, tv0, X0)
+    jax.block_until_ready(out)
+    print(f"compile+first: {time.time()-t0:.1f}s, accepted "
+          f"{int(out[3].accepted)}, cost {float(out[3].initial_cost):.3e} "
+          f"-> {float(out[3].final_cost):.3e}", file=sys.stderr)
+    t0 = time.time()
+    out = f(rv0, tv0, X0)
+    jax.block_until_ready(out)
+    total = time.time() - t0
+    ms_per_iter = total / iters * 1000
+
+    print(json.dumps({
+        "metric": "ba_ms_per_iter",
+        "value": round(ms_per_iter, 2),
+        "unit": f"ms/LM-iter @ {n_cams} KFs, {n_lms} landmarks, "
+                f"{len(cam_idx)} obs (incl. {cg_iters} PCG iters each)",
+        "vs_baseline": None,
+    }))
+
+
+if __name__ == "__main__":
+    args = [int(a) for a in sys.argv[1:]]
+    main(*args)

@@ -1,0 +1,72 @@
+"""Multi-scan throughput benchmark (BASELINE.json config: "64 independent
+scans vmapped on one host").  Measures frames/s aggregated across the
+batch on however many devices are visible.
+
+Usage: python benchmarks/bench_multiscan.py [batch] [n_frames]"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main(batch=64, n_frames=48):
+    import jax
+    import jax.numpy as jnp
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from sfm_tpu.config import SfMConfig
+    from sfm_tpu.engine.state import CameraParams
+    from sfm_tpu.parallel import init_batched_state, build_batched_step
+    from sfm_tpu.synthetic import SpriteScene, strafe_trajectory
+
+    # moderate per-scan budget so 64 states fit one chip comfortably
+    cfg = SfMConfig(max_keypoints=256, max_keyframes=8, max_landmarks=2048,
+                    image_height=240, image_width=320, pyramid_levels=3,
+                    ransac_hypotheses=64, pnp_hypotheses=32,
+                    ba_iterations=8, keyframe_min_tracked=25,
+                    keyframe_time_lag=8, min_init_matches=25)
+    K = np.array([[250.0, 0, 160], [0, 250.0, 120], [0, 0, 1]], np.float32)
+    cam = CameraParams(K=jnp.asarray(K), d=jnp.zeros(5), Kopt=jnp.asarray(K))
+
+    devs = np.array(jax.devices())
+    mesh = Mesh(devs, ("scan",))
+    shard = NamedSharding(mesh, P("scan"))
+
+    rngs = [np.random.default_rng(100 + b) for b in range(batch)]
+    scenes = [SpriteScene(r, n_sprites=120) for r in rngs]
+    rv, tv = strafe_trajectory(n_frames, step=0.06, yaw_rate=0.001)
+
+    states = init_batched_state(cfg, batch)
+    if len(devs) > 1:
+        states = jax.tree.map(lambda x: jax.device_put(x, shard), states)
+    step = jax.jit(jax.vmap(
+        __import__("sfm_tpu.engine.step", fromlist=["build_step"])
+        .build_step(cfg, cam)), donate_argnums=(0,))
+
+    def frames_at(i):
+        return jnp.asarray(np.stack(
+            [s.render(K, rv[i], tv[i], 240, 320) for s in scenes]))
+
+    states, m = step(states, frames_at(0))
+    jax.block_until_ready(m)
+    t0 = time.time()
+    for i in range(1, n_frames):
+        states, m = step(states, frames_at(i))
+    jax.block_until_ready(m)
+    dt = time.time() - t0
+    agg_fps = batch * (n_frames - 1) / dt
+    n_running = int((np.asarray(m.status) == 1).sum())
+    print(f"{n_running}/{batch} scans running at end", file=sys.stderr)
+    print(json.dumps({
+        "metric": "multiscan_frames_per_sec",
+        "value": round(agg_fps, 1),
+        "unit": f"aggregate frames/s, {batch} scans x {len(devs)} device(s)",
+        "vs_baseline": round(agg_fps / 30.0, 2),
+    }))
+
+
+if __name__ == "__main__":
+    args = [int(a) for a in sys.argv[1:]]
+    main(*args)

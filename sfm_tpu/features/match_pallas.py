@@ -1,0 +1,155 @@
+"""Pallas TPU kernel: fused Hamming matching.
+
+The XLA path (match.py) materializes the [N_src, N_tgt] distance matrix in
+HBM, then masks and reduces it.  For map-scale matching (8k-16k landmarks
+against 512 detections, every frame) that is tens of MB of HBM traffic per
+call.  This kernel fuses popcount-matmul distance computation, the motion
+window, and the running best/second-best reduction in VMEM: source tiles
+stream through the MXU against all target descriptors and only [N_src]
+best/second/argmin vectors ever reach HBM.
+
+The kernel returns (best_idx, best_dist, second_dist); the cheap [N_src]
+postprocessing (ratio test, absolute threshold, best-per-target dedup)
+stays in XLA where it fuses fine.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .bits import unpack_bits
+
+_SRC_TILE = 256
+
+
+def _matcher_kernel(bits_s_ref, xy_s_ref, valid_s_ref,
+                    bits_t_ref, xy_t_ref, valid_t_ref,
+                    params_ref,
+                    best_ref, second_ref, idx_ref):
+    """One grid step matches a _SRC_TILE block of sources against ALL
+    targets (targets fit VMEM: 512 x 512 bits = 128 KB as f32 bitplanes)."""
+    bits_s = bits_s_ref[:]                 # [TS, B] {0,1} f32
+    bits_t = bits_t_ref[:]                 # [NT, B]
+    # Hamming distance: |a| + |b| - 2 a.b — one MXU matmul per tile
+    pop_s = jnp.sum(bits_s, axis=1, keepdims=True)          # [TS, 1]
+    pop_t = jnp.sum(bits_t, axis=1, keepdims=True)          # [NT, 1]
+    inner = jax.lax.dot_general(
+        bits_s, bits_t, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)                 # [TS, NT]
+    dist = pop_s + pop_t.T - 2.0 * inner
+
+    # motion window + validity mask
+    min_r2 = params_ref[0]
+    max_r2 = params_ref[1]
+    dx = xy_s_ref[:, 0:1] - xy_t_ref[:, 0:1].T              # [TS, NT]
+    dy = xy_s_ref[:, 1:2] - xy_t_ref[:, 1:2].T
+    d2 = dx * dx + dy * dy
+    feasible = (d2 >= min_r2) & (d2 <= max_r2)
+    feasible &= (valid_s_ref[:] > 0) & (valid_t_ref[:] > 0).T
+    dist = jnp.where(feasible, dist, 1e9)
+
+    # best + second-best along targets
+    best = jnp.min(dist, axis=1)
+    idx = jnp.argmin(dist, axis=1).astype(jnp.int32)
+    nt = dist.shape[1]
+    cols = jax.lax.broadcasted_iota(jnp.int32, dist.shape, 1)
+    dist_wo = jnp.where(cols == idx[:, None], 1e9, dist)
+    second = jnp.min(dist_wo, axis=1)
+
+    best_ref[:] = best[:, None]
+    second_ref[:] = second[:, None]
+    idx_ref[:] = idx[:, None]
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def hamming_match_tiles(desc_s, xy_s, valid_s, desc_t, xy_t, valid_t,
+                        min_radius, max_radius, window_center_s=None,
+                        interpret: bool = False):
+    """Fused best/second/argmin Hamming matching.
+
+    desc_* packed uint32 [N, W]; returns (best_idx [Ns], best [Ns],
+    second [Ns]).  Sources are padded to a _SRC_TILE multiple."""
+    ns = desc_s.shape[0]
+    nt = desc_t.shape[0]
+    bits_s = unpack_bits(desc_s)
+    bits_t = unpack_bits(desc_t)
+    centers = xy_s if window_center_s is None else window_center_s
+
+    pad = (-ns) % _SRC_TILE
+    if pad:
+        bits_s = jnp.pad(bits_s, ((0, pad), (0, 0)))
+        centers = jnp.pad(centers, ((0, pad), (0, 0)))
+        valid_s = jnp.pad(valid_s, (0, pad))
+    n_pad = bits_s.shape[0]
+    params = jnp.asarray([min_radius * min_radius, max_radius * max_radius],
+                         jnp.float32)
+
+    grid = (n_pad // _SRC_TILE,)
+    best, second, idx = pl.pallas_call(
+        _matcher_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((_SRC_TILE, bits_s.shape[1]), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_SRC_TILE, 2), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_SRC_TILE, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nt, bits_t.shape[1]), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nt, 2), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nt, 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((_SRC_TILE, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_SRC_TILE, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_SRC_TILE, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad, 1), jnp.int32),
+        ],
+        interpret=interpret,
+    )(bits_s, centers, valid_s.astype(jnp.float32)[:, None],
+      bits_t, xy_t, valid_t.astype(jnp.float32)[:, None], params)
+    return (idx[:ns, 0], best[:ns, 0], second[:ns, 0])
+
+
+def match_features_pallas(desc0, xy0, valid0, desc1, xy1, valid1, *,
+                          min_radius=0.0, max_radius=1e9,
+                          max_distance=90.0, ratio=0.8,
+                          window_center0=None, interpret=False):
+    """Drop-in replacement for match.match_features using the fused kernel
+    for the distance/argmin core."""
+    from .match import MatchResult
+
+    idx, best, second = hamming_match_tiles(
+        desc0, xy0, valid0, desc1, xy1, valid1,
+        min_radius, max_radius, window_center0, interpret=interpret)
+    ok = (best <= max_distance) & (best < ratio * second) & valid0
+    n = valid0.shape[0]
+    rows = jnp.arange(n)
+    sel_dist = jnp.where(ok, best, 1e9)
+    m = valid1.shape[0]
+    per_tgt = jnp.full((m,), 1e9).at[idx].min(sel_dist)
+    winner = sel_dist <= per_tgt[idx]
+    sel_src = jnp.where(ok, rows, n)
+    tie = jnp.full((m,), n).at[idx].min(
+        jnp.where(sel_dist <= per_tgt[idx], sel_src, n))
+    winner = winner & (rows == tie[idx])
+    ok = ok & winner
+    return MatchResult(idx=jnp.where(ok, idx, -1),
+                       dist=jnp.where(ok, best, 1e9),
+                       mask=ok)

@@ -64,6 +64,13 @@ class SfMConfig:
     # that starves triangulation, so the inter-keyframe window is a separate
     # (wider) knob here.
     mapping_max_radius: float = 120.0
+    # windowed covisibility: mapping triangulates the new keyframe against
+    # the most recent M keyframes and re-observes into the most recent R
+    # (the reference's "all keyframes" degenerates at capacity; a recency
+    # window bounds compute and approximates the covisibility graph the
+    # reference commented out, CMap.h:94-95)
+    mapping_tri_keyframes: int = 8
+    mapping_reobs_keyframes: int = 16
 
     # ---- culling (ref: CMap.cpp:27-28, 384-404; CSfM.cpp:708-752) ----
     cull_min_views: int = 3            # landmark seen by < 3 KFs -> cull

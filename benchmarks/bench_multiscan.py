@@ -5,8 +5,11 @@ batch on however many devices are visible.
 Usage: python benchmarks/bench_multiscan.py [batch] [n_frames]"""
 
 import json
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir))
 
 import numpy as np
 
@@ -21,38 +24,44 @@ def main(batch=64, n_frames=48):
     from sfm_tpu.parallel import init_batched_state, build_batched_step
     from sfm_tpu.synthetic import SpriteScene, strafe_trajectory
 
-    # moderate per-scan budget so 64 states fit one chip comfortably
+    # moderate per-scan budget so 64 states fit one chip comfortably.
+    # NOTE: under vmap, lax.cond branches become selects, so every scan
+    # pays the mapping branch every frame — keep mapping small here.
+    # (Bucketed host-side mapping dispatch is the planned fix.)
     cfg = SfMConfig(max_keypoints=256, max_keyframes=8, max_landmarks=2048,
                     image_height=240, image_width=320, pyramid_levels=3,
                     ransac_hypotheses=64, pnp_hypotheses=32,
-                    ba_iterations=8, keyframe_min_tracked=25,
-                    keyframe_time_lag=8, min_init_matches=25)
+                    ba_iterations=4, keyframe_min_tracked=25,
+                    keyframe_time_lag=8, min_init_matches=25,
+                    mapping_tri_keyframes=4, mapping_reobs_keyframes=4)
     K = np.array([[250.0, 0, 160], [0, 250.0, 120], [0, 0, 1]], np.float32)
     cam = CameraParams(K=jnp.asarray(K), d=jnp.zeros(5), Kopt=jnp.asarray(K))
 
     devs = np.array(jax.devices())
-    mesh = Mesh(devs, ("scan",))
-    shard = NamedSharding(mesh, P("scan"))
 
     rngs = [np.random.default_rng(100 + b) for b in range(batch)]
     scenes = [SpriteScene(r, n_sprites=120) for r in rngs]
-    rv, tv = strafe_trajectory(n_frames, step=0.06, yaw_rate=0.001)
+    # decorrelate scans: per-scan camera speeds spread keyframe-insertion
+    # events over time (as with real independent scans), which is what the
+    # bucketed mapping dispatch exploits
+    trajs = [strafe_trajectory(n_frames, step=0.05 + 0.004 * (b % 8),
+                               yaw_rate=0.001) for b in range(batch)]
 
-    states = init_batched_state(cfg, batch)
-    if len(devs) > 1:
-        states = jax.tree.map(lambda x: jax.device_put(x, shard), states)
-    from sfm_tpu.engine.step import build_step
-    step = jax.jit(jax.vmap(build_step(cfg, cam)), donate_argnums=(0,))
+    from sfm_tpu.parallel.multiscan import MultiScanDriver
+    drv = MultiScanDriver(cfg, cam, batch=batch, bucket=8)
 
-    def frames_at(i):
-        return jnp.asarray(np.stack(
-            [s.render(K, rv[i], tv[i], 240, 320) for s in scenes]))
+    print("rendering frames...", file=sys.stderr)
+    all_frames = [jnp.asarray(np.stack(
+        [s.render(K, trajs[b][0][i], trajs[b][1][i], 240, 320)
+         for b, s in enumerate(scenes)]))
+        for i in range(n_frames)]
+    jax.block_until_ready(all_frames)
 
-    states, m = step(states, frames_at(0))
+    m = drv.step(all_frames[0])
     jax.block_until_ready(m)
     t0 = time.time()
     for i in range(1, n_frames):
-        states, m = step(states, frames_at(i))
+        m = drv.step(all_frames[i])
     jax.block_until_ready(m)
     dt = time.time() - t0
     agg_fps = batch * (n_frames - 1) / dt

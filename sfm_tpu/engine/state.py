@@ -48,6 +48,8 @@ class SfMState(NamedTuple):
     rep_desc: jnp.ndarray          # [L, W] cached landmark majority
                                    # descriptors (stale only within a
                                    # mapping pass; refreshed at its end)
+    pending_map_slot: jnp.ndarray  # deferred-mapping mode: keyframe slot
+                                   # awaiting a mapping pass (-1 = none)
 
 
 class StepMetrics(NamedTuple):
@@ -90,6 +92,7 @@ def init_state(cfg: SfMConfig) -> SfMState:
         init_fail_count=jnp.asarray(0, jnp.int32),
         key=jax.random.PRNGKey(0),
         rep_desc=jnp.zeros((cfg.max_landmarks, cfg.desc_words), jnp.uint32),
+        pending_map_slot=jnp.asarray(-1, jnp.int32),
     )
 
 

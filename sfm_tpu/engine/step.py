@@ -28,11 +28,19 @@ from .mapping import mapping_pass
 from .reloc import reloc_step
 
 
-def build_step(cfg: SfMConfig, cam: CameraParams):
-    """Build the jittable per-frame transition function."""
+def build_step(cfg: SfMConfig, cam: CameraParams, defer_mapping: bool = False):
+    """Build the jittable per-frame transition function.
 
-    def mapping_fn(state, slot):
-        return mapping_pass(cfg, cam, state, slot)
+    defer_mapping=True skips the inline mapping pass and records the
+    pending keyframe slot instead (see parallel/multiscan.py's bucketed
+    driver — under vmap, an inline lax.cond mapping branch would execute
+    for every scan every frame)."""
+
+    if defer_mapping:
+        mapping_fn = None
+    else:
+        def mapping_fn(state, slot):
+            return mapping_pass(cfg, cam, state, slot)
 
     def step(state: SfMState, image: jnp.ndarray
              ) -> Tuple[SfMState, StepMetrics]:

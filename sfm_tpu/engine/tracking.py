@@ -151,7 +151,13 @@ def tracking_step(cfg: SfMConfig, cam: CameraParams, state: SfMState,
                 kfs=kfs, lms=lms2,
                 last_kf_frame_no=curr.frame_no,
                 last_kf_tracked=n_tracked.astype(jnp.int32))
-            st = mapping_fn(st, slot)
+            if mapping_fn is None:
+                # deferred-mapping mode (multi-scan batching): record the
+                # slot; the host driver runs the mapping pass on a bucket
+                # of flagged scans in one vmapped call
+                st = st._replace(pending_map_slot=slot)
+            else:
+                st = mapping_fn(st, slot)
             return st
 
         st = state._replace(lms=lms, key=key,

@@ -11,6 +11,7 @@ from __future__ import annotations
 from functools import partial
 from typing import Tuple
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -59,3 +60,57 @@ def shard_batched_state(state: SfMState, mesh: Mesh, axis: str = "scan"
     """Place a batched state with its leading axis sharded over the mesh."""
     shard = NamedSharding(mesh, P(axis))
     return jax.tree.map(lambda x: jax.device_put(x, shard), state)
+
+
+class MultiScanDriver:
+    """Bucketed multi-scan driver: deferred mapping dispatch.
+
+    Under vmap, lax.cond branches become selects, so a fleet step with
+    inline mapping pays the (expensive, rare) mapping pass for EVERY scan
+    EVERY frame.  This driver runs the vmapped tracking-only step (which
+    just flags scans whose keyframe insertion awaits mapping), then runs
+    the vmapped mapping pass over a fixed-size BUCKET of flagged scans —
+    so mapping compute scales with how many scans actually inserted a
+    keyframe, padded to the bucket size."""
+
+    def __init__(self, cfg: SfMConfig, cam: CameraParams, batch: int,
+                 bucket: int = 8):
+        from ..engine.mapping import mapping_pass
+
+        self.cfg = cfg
+        self.batch = batch
+        self.bucket = bucket
+        self._step = jax.jit(
+            jax.vmap(build_step(cfg, cam, defer_mapping=True)),
+            donate_argnums=(0,))
+
+        def map_one(state):
+            slot = state.pending_map_slot
+            st = jax.lax.cond(
+                slot >= 0,
+                lambda s: mapping_pass(cfg, cam, s, jnp.maximum(slot, 0)),
+                lambda s: s, state)
+            return st._replace(pending_map_slot=jnp.asarray(-1, jnp.int32))
+
+        def map_bucket(states, idx):
+            # gather flagged scans, map them, scatter back
+            sub = jax.tree.map(lambda x: x[idx], states)
+            sub = jax.vmap(map_one)(sub)
+            return jax.tree.map(
+                lambda full, new: full.at[idx].set(new), states, sub)
+
+        self._map_bucket = jax.jit(map_bucket, donate_argnums=(0,))
+        self.states = init_batched_state(cfg, batch)
+
+    def step(self, images) -> "StepMetrics":
+        """One fleet step: vmapped tracking + bucketed mapping dispatch."""
+        self.states, metrics = self._step(self.states, images)
+        pending = np.asarray(self.states.pending_map_slot >= 0)
+        idx = np.nonzero(pending)[0]
+        for start in range(0, len(idx), self.bucket):
+            sel = idx[start:start + self.bucket]
+            # pad the bucket by repeating (idempotent: padded entries have
+            # pending slot -1 after the first mapping)
+            pad = np.resize(sel, self.bucket) if len(sel) else sel
+            self.states = self._map_bucket(self.states, jnp.asarray(pad))
+        return metrics

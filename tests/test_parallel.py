@@ -113,3 +113,37 @@ class TestMultiScan:
         # features and most should be running
         assert (np.asarray(metrics.n_detected) > 20).all()
         assert (status == 1).sum() >= 2
+
+
+class TestMultiScanDriver:
+    def test_bucketed_mapping_dispatch(self, rng):
+        import jax.numpy as jnp
+        from sfm_tpu.config import SfMConfig
+        from sfm_tpu.engine.state import CameraParams
+        from sfm_tpu.parallel.multiscan import MultiScanDriver
+        from render import SpriteScene, strafe_trajectory
+
+        cfg = SfMConfig(max_keypoints=96, max_keyframes=4, max_landmarks=256,
+                        image_height=120, image_width=160, pyramid_levels=2,
+                        ransac_hypotheses=32, pnp_hypotheses=16,
+                        ba_iterations=3, keyframe_min_tracked=10,
+                        keyframe_time_lag=4, min_init_matches=15,
+                        mapping_tri_keyframes=2, mapping_reobs_keyframes=2)
+        K = np.array([[130., 0, 80], [0, 130., 60], [0, 0, 1]], np.float32)
+        cam = CameraParams(K=jnp.asarray(K), d=jnp.zeros(5),
+                           Kopt=jnp.asarray(K))
+        B = 3
+        drv = MultiScanDriver(cfg, cam, batch=B, bucket=2)
+        scenes = [SpriteScene(np.random.default_rng(20 + b), n_sprites=80)
+                  for b in range(B)]
+        rv, tv = strafe_trajectory(10, step=0.08)
+        for i in range(10):
+            imgs = np.stack([s.render(K, rv[i], tv[i], 120, 160)
+                             for s in scenes])
+            m = drv.step(jnp.asarray(imgs))
+        status = np.asarray(m.status)
+        assert (status == 1).sum() >= 2
+        # pending slots always cleared after dispatch
+        assert (np.asarray(drv.states.pending_map_slot) == -1).all()
+        # mapping ran: keyframes accumulated beyond the bootstrap pair
+        assert np.asarray(m.n_keyframes).max() >= 3

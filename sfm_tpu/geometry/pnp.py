@@ -74,38 +74,63 @@ def pnp_dlt(K: jnp.ndarray, xyz: jnp.ndarray, uv: jnp.ndarray,
     return log_so3(R), t
 
 
-def _reproj_residual(K, rvec, tvec, xyz, uv, w):
-    pred = project(K, rvec, tvec, xyz)
-    return ((pred - uv) * w[:, None]).reshape(-1)
+def _pose_residual_jac(K, rvec, tvec, xyz, uv, w):
+    """Masked residuals [N,2] and analytic pose-Jacobian blocks [N,2,6]
+    under the local left-multiplicative parameterization
+    (R <- exp(dw) R, t <- t + dt) — the same closed forms as the BA blocks
+    (sfm_tpu/ba/residuals.py)."""
+    from .rotations import exp_so3 as _exp, hat as _hat
+    R = _exp(rvec)
+    RX = xyz @ R.T
+    p = RX + tvec
+    z = p[:, 2]
+    z_safe = jnp.where(jnp.abs(z) < 1e-6, jnp.where(z < 0, -1e-6, 1e-6), z)
+    inv_z = 1.0 / z_safe
+    fx, fy, skew = K[0, 0], K[1, 1], K[0, 1]
+    cx, cy = K[0, 2], K[1, 2]
+    u = fx * p[:, 0] * inv_z + skew * p[:, 1] * inv_z + cx
+    v = fy * p[:, 1] * inv_z + cy
+    r = (jnp.stack([u, v], -1) - uv) * w[:, None]
+    zero = jnp.zeros_like(inv_z)
+    duv_dp = jnp.stack([
+        jnp.stack([fx * inv_z, skew * inv_z,
+                   -(fx * p[:, 0] + skew * p[:, 1]) * inv_z * inv_z], -1),
+        jnp.stack([zero, fy * inv_z, -fy * p[:, 1] * inv_z * inv_z], -1),
+    ], axis=1)
+    A_w = jnp.einsum("oij,ojk->oik", duv_dp, -_hat(RX))
+    A = jnp.concatenate([A_w, duv_dp], -1) * w[:, None, None]
+    return r, A
 
 
 def refine_pose(K: jnp.ndarray, rvec: jnp.ndarray, tvec: jnp.ndarray,
                 xyz: jnp.ndarray, uv: jnp.ndarray, w: jnp.ndarray,
                 iters: int = 10, damping: float = 1e-4):
-    """Pose-only damped Gauss-Newton (Levenberg) on masked reprojection.
+    """Pose-only damped Gauss-Newton (Levenberg) on masked reprojection,
+    with analytic Jacobians and a local pose parameterization.
 
     Fixed trip count; jit/vmap-friendly.  Returns (rvec, tvec)."""
+    from .rotations import exp_so3 as _exp, log_so3 as _log
+
+    def cost_of(rv, tv):
+        pred = project(K, rv, tv, xyz)
+        return jnp.sum(((pred - uv) * w[:, None]) ** 2)
+
     def body(_, carry):
-        rv, tv = carry
-        params = jnp.concatenate([rv, tv])
-
-        def res_fn(p):
-            return _reproj_residual(K, p[:3], p[3:], xyz, uv, w)
-
-        r = res_fn(params)
-        J = jax.jacfwd(res_fn)(params)       # [2N, 6]
-        H = J.T @ J
-        g = J.T @ r
-        H = H + damping * jnp.diag(jnp.diag(H)) + 1e-9 * jnp.eye(6, dtype=H.dtype)
+        rv, tv, cost = carry
+        r, A = _pose_residual_jac(K, rv, tv, xyz, uv, w)
+        H = jnp.einsum("oia,oib->ab", A, A)
+        g = jnp.einsum("oia,oi->a", A, r)
+        H = H + damping * jnp.diag(jnp.diag(H)) + 1e-9 * jnp.eye(6)
         step = jnp.linalg.solve(H, g)
-        p_new = params - step
-        # accept only if cost decreases (cheap trust region)
-        new_cost = jnp.sum(res_fn(p_new) ** 2)
-        old_cost = jnp.sum(r ** 2)
-        p_out = jnp.where(new_cost < old_cost, p_new, params)
-        return (p_out[:3], p_out[3:])
+        rv_new = _log(_exp(-step[:3]) @ _exp(rv))
+        tv_new = tv - step[3:]
+        new_cost = cost_of(rv_new, tv_new)
+        ok = new_cost < cost
+        return (jnp.where(ok, rv_new, rv), jnp.where(ok, tv_new, tv),
+                jnp.where(ok, new_cost, cost))
 
-    rv, tv = jax.lax.fori_loop(0, iters, body, (rvec, tvec))
+    rv, tv, _ = jax.lax.fori_loop(0, iters, body,
+                                  (rvec, tvec, cost_of(rvec, tvec)))
     return rv, tv
 
 

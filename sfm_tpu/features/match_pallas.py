@@ -28,29 +28,31 @@ _SRC_TILE = 256
 
 
 def _matcher_kernel(bits_s_ref, xy_s_ref, valid_s_ref,
-                    bits_t_ref, xy_t_ref, valid_t_ref,
+                    bits_t_ref, xy_t_T_ref, valid_t_row_ref, pop_t_row_ref,
                     params_ref,
                     best_ref, second_ref, idx_ref):
     """One grid step matches a _SRC_TILE block of sources against ALL
-    targets (targets fit VMEM: 512 x 512 bits = 128 KB as f32 bitplanes)."""
+    targets (targets fit VMEM: 512 x 512 bits = 128 KB as f32 bitplanes).
+    Target coordinates/validity arrive pre-transposed as row vectors
+    (Mosaic does not transpose narrow/bool vectors)."""
     bits_s = bits_s_ref[:]                 # [TS, B] {0,1} f32
     bits_t = bits_t_ref[:]                 # [NT, B]
     # Hamming distance: |a| + |b| - 2 a.b — one MXU matmul per tile
     pop_s = jnp.sum(bits_s, axis=1, keepdims=True)          # [TS, 1]
-    pop_t = jnp.sum(bits_t, axis=1, keepdims=True)          # [NT, 1]
+    pop_t_row = pop_t_row_ref[0:1, :]                       # [1, NT]
     inner = jax.lax.dot_general(
         bits_s, bits_t, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)                 # [TS, NT]
-    dist = pop_s + pop_t.T - 2.0 * inner
+    dist = pop_s + pop_t_row - 2.0 * inner
 
     # motion window + validity mask
     min_r2 = params_ref[0]
     max_r2 = params_ref[1]
-    dx = xy_s_ref[:, 0:1] - xy_t_ref[:, 0:1].T              # [TS, NT]
-    dy = xy_s_ref[:, 1:2] - xy_t_ref[:, 1:2].T
+    dx = xy_s_ref[:, 0:1] - xy_t_T_ref[0:1, :]              # [TS, NT]
+    dy = xy_s_ref[:, 1:2] - xy_t_T_ref[1:2, :]
     d2 = dx * dx + dy * dy
     feasible = (d2 >= min_r2) & (d2 <= max_r2)
-    feasible &= (valid_s_ref[:] > 0) & (valid_t_ref[:] > 0).T
+    feasible &= (valid_s_ref[:] > 0) & (valid_t_row_ref[0:1, :] > 0)
     dist = jnp.where(feasible, dist, 1e9)
 
     # best + second-best along targets
@@ -102,9 +104,11 @@ def hamming_match_tiles(desc_s, xy_s, valid_s, desc_t, xy_t, valid_t,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((nt, bits_t.shape[1]), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((nt, 2), lambda i: (0, 0),
+            pl.BlockSpec((2, nt), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((nt, 1), lambda i: (0, 0),
+            pl.BlockSpec((1, nt), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nt), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
@@ -123,7 +127,8 @@ def hamming_match_tiles(desc_s, xy_s, valid_s, desc_t, xy_t, valid_t,
         ],
         interpret=interpret,
     )(bits_s, centers, valid_s.astype(jnp.float32)[:, None],
-      bits_t, xy_t, valid_t.astype(jnp.float32)[:, None], params)
+      bits_t, xy_t.T, valid_t.astype(jnp.float32)[None, :],
+      jnp.sum(unpack_bits(desc_t), axis=1)[None, :], params)
     return (idx[:ns, 0], best[:ns, 0], second[:ns, 0])
 
 

@@ -151,13 +151,18 @@ def tracking_step(cfg: SfMConfig, cam: CameraParams, state: SfMState,
                 kfs=kfs, lms=lms2,
                 last_kf_frame_no=curr.frame_no,
                 last_kf_tracked=n_tracked.astype(jnp.int32))
+            # slot can be -1 when the keyframe store is full and culling
+            # freed nothing; mapping must not run then (a negative slot
+            # would wrap-index the last keyframe)
             if mapping_fn is None:
                 # deferred-mapping mode (multi-scan batching): record the
                 # slot; the host driver runs the mapping pass on a bucket
                 # of flagged scans in one vmapped call
                 st = st._replace(pending_map_slot=slot)
             else:
-                st = mapping_fn(st, slot)
+                st = jax.lax.cond(slot >= 0,
+                                  lambda s: mapping_fn(s, slot),
+                                  lambda s: s, st)
             return st
 
         st = state._replace(lms=lms, key=key,

@@ -95,3 +95,28 @@ class TestLostAndRelocalization:
         m = eng.add_frame(scene.render(K, rvecs[10], tvecs[10], 240, 320))
         assert eng.status == RUNNING
         assert int(m["n_inliers"]) >= 15
+
+
+class TestKeyframeCapacity:
+    def test_full_keyframe_store_does_not_corrupt(self):
+        """When the keyframe store is full and culling frees nothing,
+        keyframe insertion fails gracefully (slot -1) and mapping must not
+        wrap-index the last slot."""
+        rng = np.random.default_rng(3)
+        scene = SpriteScene(rng)
+        rvecs, tvecs = strafe_trajectory(26, step=0.08)
+        cfg = SfMConfig(
+            max_keypoints=192, max_keyframes=3, max_landmarks=1024,
+            image_height=240, image_width=320, pyramid_levels=3,
+            ransac_hypotheses=64, pnp_hypotheses=32, ba_iterations=4,
+            keyframe_min_tracked=10, keyframe_time_lag=3,
+            min_init_matches=20, kf_cull_redundancy=1.1)  # never cull
+        eng = SfMEngine(K, (240, 320), None, cfg)
+        for i in range(26):
+            m = eng.add_frame(scene.render(K, rvecs[i], tvecs[i], 240, 320))
+        assert int(m["n_keyframes"]) <= 3
+        # engine still consistent: links point at valid landmark slots
+        links = np.asarray(eng.state.kfs.frames.landmark)
+        valid_links = links[links >= 0]
+        assert (valid_links < cfg.max_landmarks).all()
+        assert eng.status in (1, 2)

@@ -19,8 +19,11 @@ matrix — O(K*N) data-parallel scans instead of hash maps, which is the
 right trade on a vector machine and removes the mutual-consistency
 invariants by construction.
 
-Representative descriptors use running per-bit counts with majority vote
-(the TODO at CMap.cpp:344) instead of the O(obs^2) Hamming medoid.
+Representative descriptors use per-bit saturating vote counters (int8,
++1 per set bit, -1 per clear bit, clipped to +-127; majority = sign) —
+the bit-majority replacement for the O(obs^2) Hamming medoid that the
+reference's own TODO suggests (CMap.cpp:344), in 1/4 the memory of plain
+counts and adaptive to recent observations once saturated.
 """
 
 from __future__ import annotations
@@ -89,7 +92,7 @@ def empty_keyframes(k: int, n_kp: int, desc_words: int) -> KeyframeStore:
 class LandmarkStore(NamedTuple):
     """Landmark SoA (CMap equivalent).  Capacity L, slot index = id."""
     xyz: jnp.ndarray          # [L, 3] f32
-    desc_bitsum: jnp.ndarray  # [L, B] int32 running bit counts
+    desc_votes: jnp.ndarray   # [L, B] int8 saturating bit-majority votes
     color_sum: jnp.ndarray    # [L, 3] f32 running observed-color sum
     n_desc: jnp.ndarray       # [L] int32 descriptors accumulated
     n_views: jnp.ndarray      # [L] int32 tracked-frame views (CMap _ptsViews)
@@ -101,7 +104,7 @@ class LandmarkStore(NamedTuple):
 def empty_landmarks(l: int, desc_bits: int) -> LandmarkStore:
     return LandmarkStore(
         xyz=jnp.zeros((l, 3), jnp.float32),
-        desc_bitsum=jnp.zeros((l, desc_bits), jnp.int32),
+        desc_votes=jnp.zeros((l, desc_bits), jnp.int8),
         color_sum=jnp.zeros((l, 3), jnp.float32),
         n_desc=jnp.zeros((l,), jnp.int32),
         n_views=jnp.zeros((l,), jnp.int32),
@@ -138,13 +141,13 @@ def add_landmarks(lms: LandmarkStore, xyz: jnp.ndarray, desc: jnp.ndarray,
     ids = allocate_slots(~lms.valid, want)
     ok = ids >= 0
     safe = jnp.where(ok, ids, 0)
-    bits = unpack_bits(desc).astype(jnp.int32)
+    votes = (2 * unpack_bits(desc) - 1.0).astype(jnp.int8)
     if colors is None:
         colors = jnp.zeros(xyz.shape[:1] + (3,), jnp.float32)
     new = LandmarkStore(
         xyz=lms.xyz.at[safe].set(jnp.where(ok[:, None], xyz, lms.xyz[safe])),
-        desc_bitsum=lms.desc_bitsum.at[safe].set(
-            jnp.where(ok[:, None], bits, lms.desc_bitsum[safe])),
+        desc_votes=lms.desc_votes.at[safe].set(
+            jnp.where(ok[:, None], votes, lms.desc_votes[safe])),
         color_sum=lms.color_sum.at[safe].set(
             jnp.where(ok[:, None], colors, lms.color_sum[safe])),
         n_desc=lms.n_desc.at[safe].set(jnp.where(ok, 1, lms.n_desc[safe])),
@@ -165,9 +168,13 @@ def add_descriptors(lms: LandmarkStore, ids: jnp.ndarray, desc: jnp.ndarray,
     CSfM.cpp:798-800)."""
     ok = ids >= 0
     safe = jnp.where(ok, ids, 0)
-    bits = unpack_bits(desc).astype(jnp.int32) * ok[:, None]
+    votes = (2 * unpack_bits(desc) - 1.0).astype(jnp.int8) * \
+        ok[:, None].astype(jnp.int8)
+    # saturating accumulate in int16, clip back to the int8 range
+    acc = jnp.clip(lms.desc_votes.astype(jnp.int16).at[safe].add(
+        votes.astype(jnp.int16)), -127, 127).astype(jnp.int8)
     out = lms._replace(
-        desc_bitsum=lms.desc_bitsum.at[safe].add(bits),
+        desc_votes=acc,
         n_desc=lms.n_desc.at[safe].add(ok.astype(jnp.int32)),
     )
     if colors is not None:
@@ -192,9 +199,9 @@ def add_views(lms: LandmarkStore, ids: jnp.ndarray) -> LandmarkStore:
 def representative_descriptors(lms: LandmarkStore) -> jnp.ndarray:
     """Per-landmark majority-vote descriptor [L, W] uint32 — replaces the
     O(obs^2) Hamming medoid (CMap::getRepresentativeDescriptors,
-    CMap.cpp:343-381; the TODO at :344 suggests exactly this)."""
-    maj = (2 * lms.desc_bitsum) > lms.n_desc[:, None]
-    return pack_bits(maj)
+    CMap.cpp:343-381; the TODO at :344 suggests exactly this).  Majority =
+    positive saturating vote counter."""
+    return pack_bits(lms.desc_votes > 0)
 
 
 def increment_age(lms: LandmarkStore, t_inc: int, kf_inc: int) -> LandmarkStore:

@@ -133,25 +133,10 @@ def run_large_ba(K, rvec, tvec, xyz, tables: ObsTables, *,
         cost = jnp.sum(jnp.sum(r_l * r_l, -1) * w_l)
         return (U, V, W_l, W_c, g_cam, g_lm), cost
 
-    def schur_matvec(blocks, Vinv, x):
-        """S.x for x [C,6]: U x - W V^-1 W^T x via the tables."""
-        U, V, W_l, W_c, g_cam, g_lm = blocks
-        Ux = jnp.einsum("cab,cb->ca", _damp_ref(U), x)
-        # t_l = sum_k W_lk^T x_cam  -> [L,3]
-        x_at = x[tables.lm_cam]                               # [L,kmax,6]
-        t = jnp.einsum("lkab,lka->lb", W_l, x_at)
-        z = jnp.einsum("lab,lb->la", Vinv, t)                 # [L,3]
-        # y_c = sum_j W_cj z_lm  -> [C,6]
-        z_at = z[tables.cam_lm]                               # [C,nmax,3]
-        y = jnp.einsum("cjab,cjb->ca", W_c, z_at)
-        return Ux - y
-
     def body(carry):
         rvec, tvec, xyz, blocks, cost, lam, accepted, done = carry
         U, V, W_l, W_c, g_cam, g_lm = blocks
         Vinv = inv3_sym(_damp(V, lam))
-
-        nonlocal_damp = lam  # captured by _damp_ref via closure below
 
         def matvec(x):
             Ux = jnp.einsum("cab,cb->ca", _damp(U, lam), x)
@@ -239,6 +224,3 @@ def _cam_self(C, cam_lm):
     return jnp.broadcast_to(
         jnp.arange(C, dtype=jnp.int32)[:, None], cam_lm.shape)
 
-
-def _damp_ref(U):  # placeholder kept for clarity in schur_matvec docstring
-    return U

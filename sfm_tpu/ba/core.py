@@ -26,7 +26,7 @@ import jax.numpy as jnp
 
 from ..geometry.rotations import exp_so3
 from .residuals import (Observations, residuals_and_jacobians, huber_weights,
-                        apply_pose_update, total_cost)
+                        apply_pose_update)
 
 
 class BAMode(enum.IntEnum):

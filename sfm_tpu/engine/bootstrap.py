@@ -22,11 +22,9 @@ from ..geometry.estimation import estimate_homography
 from ..geometry.twoview import (recover_pose_from_essential,
                                 recover_pose_from_homography)
 from ..features.match import match_features
-from ..mapstore import add_landmarks, insert_keyframe, empty_keyframes, \
-    empty_landmarks
+from ..mapstore import add_landmarks, insert_keyframe, empty_keyframes
 from ..ransac import ransac_fundamental
-from .state import (SfMState, StepMetrics, zero_metrics, CameraParams,
-                    RUNNING, NOT_INITIALIZED)
+from .state import (SfMState, zero_metrics, CameraParams, RUNNING)
 
 
 def bootstrap_step(cfg: SfMConfig, cam: CameraParams, state: SfMState,

@@ -11,9 +11,8 @@ import jax.numpy as jnp
 
 from ..config import SfMConfig
 from ..features.match import match_features
-from ..mapstore import representative_descriptors
 from ..ransac import ransac_pnp
-from .state import SfMState, zero_metrics, CameraParams, RUNNING, LOST
+from .state import SfMState, zero_metrics, CameraParams, RUNNING
 
 
 def reloc_step(cfg: SfMConfig, cam: CameraParams, state: SfMState,

@@ -8,7 +8,7 @@ checkpointable (it's just arrays), and race-free by construction.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

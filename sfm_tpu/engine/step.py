@@ -12,7 +12,7 @@ via lax.switch — branchy per-frame control flow with zero recompiles
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 import jax
@@ -21,7 +21,7 @@ import jax.numpy as jnp
 from ..config import SfMConfig
 from ..geometry.camera import optimal_new_camera_matrix
 from .state import (SfMState, StepMetrics, CameraParams, init_state,
-                    make_frame, NOT_INITIALIZED, RUNNING, LOST)
+                    make_frame)
 from .bootstrap import bootstrap_step
 from .tracking import tracking_step
 from .mapping import mapping_pass

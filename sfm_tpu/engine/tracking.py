@@ -18,11 +18,10 @@ from ..config import SfMConfig
 from ..features.match import match_features
 from ..geometry.camera import project
 from ..geometry.pnp import reprojection_errors
-from ..mapstore import (add_views, add_descriptors, representative_descriptors,
-                        insert_keyframe, increment_age)
+from ..mapstore import (add_views, add_descriptors, insert_keyframe,
+                        increment_age)
 from ..ransac import ransac_pnp
-from .state import SfMState, StepMetrics, zero_metrics, CameraParams, \
-    RUNNING, LOST
+from .state import SfMState, zero_metrics, CameraParams, RUNNING, LOST
 
 
 def widen_tracks(cfg: SfMConfig, cam: CameraParams, lms, curr, rep):

@@ -15,7 +15,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .rotations import exp_so3, log_so3
+from .rotations import log_so3
 from .camera import project
 
 

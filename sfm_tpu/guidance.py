@@ -25,7 +25,6 @@ import numpy as np
 
 from .config import SfMConfig
 from .geometry.camera import project
-from .geometry.rotations import exp_so3
 
 _N_HULL_DIRS = 32
 

@@ -15,9 +15,6 @@ shard-local landmark indices — see ``partition_observations``."""
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Tuple
-
 import numpy as np
 import jax
 import jax.numpy as jnp

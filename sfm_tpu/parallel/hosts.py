@@ -5,7 +5,7 @@ across slices automatically via the mesh."""
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 import jax

@@ -8,9 +8,6 @@ function, and the batch axis can additionally be sharded over a device mesh
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Tuple
-
 import numpy as np
 import jax
 import jax.numpy as jnp

@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from .np_geometry import rodrigues_np, project_np, DEFAULT_K
+from .np_geometry import rodrigues_np
 
 
 class SpriteScene:

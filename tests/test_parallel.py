@@ -147,3 +147,71 @@ class TestMultiScanDriver:
         assert (np.asarray(drv.states.pending_map_slot) == -1).all()
         # mapping ran: keyframes accumulated beyond the bootstrap pair
         assert np.asarray(m.n_keyframes).max() >= 3
+
+
+class TestDistLargeBA:
+    def test_parity_with_single_device_large(self, rng):
+        import jax.numpy as jnp
+        from sfm_tpu.ba.large import build_tables, run_large_ba
+        from sfm_tpu.parallel.dist_large_ba import (partition_tables,
+                                                    build_dist_large_ba)
+        K, rvec, tvec, X, obs = make_ba_scene(rng, n_cams=4, n_pts=64)
+        rv0 = rvec.at[1:].add(0.01)
+        X0 = X + 0.03
+        cam_free = jnp.ones(4, bool).at[0].set(False)
+        lm_free = jnp.ones(64, bool)
+
+        tables = build_tables(obs, 4, 64, nmax=64, kmax=4)
+        rv_s, tv_s, X_s, st_s = run_large_ba(
+            K, rv0, tvec, X0, tables, cam_free=cam_free, lm_free=lm_free,
+            iterations=10, cg_iterations=40, tol=0.0)
+
+        mesh = make_mesh(4)
+        tabs, shard_size = partition_tables(obs, 4, 64, 4, nmax=64, kmax=4)
+        dist = build_dist_large_ba(mesh, "map", n_cams=4,
+                                   shard_size=shard_size,
+                                   iterations=10, cg_iterations=40)
+        rv_d, tv_d, X_d, st_d = dist(K, rv0, tvec, X0, tabs, cam_free,
+                                     lm_free)
+        assert float(st_d.final_cost) < 1e-2
+        np.testing.assert_allclose(np.asarray(rv_d), np.asarray(rv_s),
+                                   atol=1e-3)
+        np.testing.assert_allclose(np.asarray(X_d), np.asarray(X_s),
+                                   atol=5e-3)
+
+    def test_8_shard_convergence(self, rng):
+        import jax.numpy as jnp
+        from sfm_tpu.ba import Observations
+        from sfm_tpu.parallel.dist_large_ba import (partition_tables,
+                                                    build_dist_large_ba)
+        from synthetic import rodrigues_np, project_np, DEFAULT_K
+        n_cams, n_pts = 10, 320
+        K = DEFAULT_K
+        X = np.stack([rng.uniform(-3, 3, n_pts), rng.uniform(-2, 2, n_pts),
+                      rng.uniform(6, 12, n_pts)], 1).astype(np.float32)
+        cam_idx, lm_idx, uvs, rvs, tvs = [], [], [], [], []
+        for c in range(n_cams):
+            rv = rng.uniform(-0.02, 0.02, 3).astype(np.float32)
+            tv = np.array([0.2 * c, 0, 0], np.float32)
+            rvs.append(rv); tvs.append(tv)
+            sel = rng.choice(n_pts, 160, replace=False)
+            uv = project_np(K, rodrigues_np(rv), tv, X[sel]).astype(np.float32)
+            cam_idx.append(np.full(160, c)); lm_idx.append(sel); uvs.append(uv)
+        obs = Observations(
+            jnp.asarray(np.concatenate(cam_idx).astype(np.int32)),
+            jnp.asarray(np.concatenate(lm_idx).astype(np.int32)),
+            jnp.asarray(np.concatenate(uvs)), jnp.ones(n_cams * 160))
+        mesh = make_mesh(8)
+        tabs, shard_size = partition_tables(obs, n_cams, n_pts, 8,
+                                            nmax=160, kmax=8)
+        dist = build_dist_large_ba(mesh, "map", n_cams=n_cams,
+                                   shard_size=shard_size,
+                                   iterations=10, cg_iterations=30)
+        rv0 = jnp.asarray(np.stack(rvs)).at[1:].add(0.01)
+        X0 = jnp.asarray(X) + jnp.asarray(
+            rng.normal(0, 0.05, X.shape).astype(np.float32))
+        cam_free = jnp.ones(n_cams, bool).at[0].set(False)
+        rv, tv, Xf, st = dist(K, rv0, jnp.asarray(np.stack(tvs)), X0, tabs,
+                              cam_free, jnp.ones(n_pts, bool))
+        assert float(st.final_cost) < 1e-3 * float(st.initial_cost)
+        np.testing.assert_allclose(np.asarray(rv), np.stack(rvs), atol=2e-3)

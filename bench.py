@@ -84,6 +84,23 @@ def main():
           f"{amort_ms*1000:.2f} ms/frame ({1/amort_ms:.1f} fps), "
           f"mapping pass ~{map_ms*1000:.0f} ms", file=sys.stderr)
 
+    # accuracy: sim(3)-aligned ATE of the keyframe trajectory vs ground truth
+    from sfm_tpu.synthetic import umeyama_ate
+    from sfm_tpu.np_geometry import rodrigues_np
+    kf_valid = np.asarray(state.kfs.valid)
+    if kf_valid.sum() >= 3:
+        fns = np.asarray(state.kfs.frames.frame_no)[kf_valid]
+        rv = np.asarray(state.kfs.frames.rvec)[kf_valid]
+        tv = np.asarray(state.kfs.frames.tvec)[kf_valid]
+        order = np.argsort(fns)
+        est_c = np.stack([-rodrigues_np(rv[i]).T @ tv[i] for i in order])
+        gt_c = np.stack([-rodrigues_np(rvecs[f]).T @ tvecs[f]
+                         for f in fns[order]])
+        ate = umeyama_ate(est_c, gt_c)
+        extent = float(np.linalg.norm(gt_c[-1] - gt_c[0]))
+        print(f"ATE {ate:.4f} over {extent:.2f} trajectory extent "
+              f"({100*ate/max(extent,1e-9):.2f}%)", file=sys.stderr)
+
     baseline_fps = 30.0  # reference implied live-video rate on CPU
     print(json.dumps({
         "metric": "tracking_fps_per_chip",

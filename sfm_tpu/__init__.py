@@ -18,3 +18,15 @@ import jax as _jax
 _jax.config.update("jax_default_matmul_precision", "float32")
 
 from .config import SfMConfig, DEFAULT_CONFIG
+
+
+def __getattr__(name):
+    # lazy top-level conveniences (importing the engine pulls in the full
+    # stack; keep `import sfm_tpu` light)
+    if name == "SfMEngine":
+        from .engine import SfMEngine
+        return SfMEngine
+    if name == "PointCloud":
+        from .io import PointCloud
+        return PointCloud
+    raise AttributeError(name)

@@ -106,6 +106,53 @@ def cmd_scan(args) -> int:
     return 0
 
 
+def cmd_tum(args) -> int:
+    """Run a TUM RGB-D sequence (monocular) and report sim(3) ATE — the
+    BASELINE.json accuracy configs (fr3/teddy, fr2/desk)."""
+    import numpy as np
+    from .config import SfMConfig
+    from .engine import SfMEngine
+    from .io.tum import TUMSequence, TUM_INTRINSICS, ate_sim3
+    from .np_geometry import rodrigues_np
+
+    seq = TUMSequence(args.seq)
+    intr = TUM_INTRINSICS[args.camera]
+    first = next(seq.frames())
+    h, w = first[1].shape
+    cfg = SfMConfig(image_height=h, image_width=w,
+                    max_keypoints=args.max_keypoints,
+                    max_keyframes=args.max_keyframes,
+                    max_landmarks=args.max_landmarks)
+    K = np.array([[intr["fx"], 0, intr["cx"]],
+                  [0, intr["fy"], intr["cy"]], [0, 0, 1]], np.float32)
+    eng = SfMEngine(K, (h, w), intr.get("dist"), cfg)
+    kf_ts = {}
+    n = 0
+    for ts, gray, rgb in seq.frames():
+        m = eng.add_frame(gray)
+        if bool(m["keyframe_added"]):
+            kf_ts[int(eng.state.frame_count) - 1] = ts
+        n += 1
+        if args.max_frames and n >= args.max_frames:
+            break
+    out = {"frames": n, "status": eng.status,
+           "n_keyframes": int(np.asarray(eng.state.kfs.valid).sum()),
+           "n_landmarks": int(np.asarray(eng.state.lms.valid).sum())}
+    if seq.gt_ts is not None and out["n_keyframes"] >= 3:
+        valid = np.asarray(eng.state.kfs.valid)
+        fns = np.asarray(eng.state.kfs.frames.frame_no)[valid]
+        rv = np.asarray(eng.state.kfs.frames.rvec)[valid]
+        tv = np.asarray(eng.state.kfs.frames.tvec)[valid]
+        order = np.argsort(fns)
+        ts_arr = np.array([kf_ts.get(int(f), seq.rgb[min(int(f),
+                           len(seq.rgb) - 1)][0]) for f in fns[order]])
+        gt_c = seq.gt_positions_at(ts_arr)
+        est_c = np.stack([-rodrigues_np(rv[i]).T @ tv[i] for i in order])
+        out["ate_m"] = round(ate_sim3(est_c, gt_c), 4)
+    print(json.dumps(out))
+    return 0
+
+
 def cmd_info(args) -> int:
     from .io import read_ply
     xyz, rgb = read_ply(args.input)
@@ -154,6 +201,15 @@ def main(argv=None) -> int:
     pi = sub.add_parser("info", help="inspect a PLY file")
     pi.add_argument("--input", required=True)
     pi.set_defaults(fn=cmd_info)
+
+    pt = sub.add_parser("tum", help="run a TUM sequence and report ATE")
+    pt.add_argument("--seq", required=True, help="TUM sequence directory")
+    pt.add_argument("--camera", default="fr3", choices=["fr1", "fr2", "fr3"])
+    pt.add_argument("--max-keypoints", type=int, default=512)
+    pt.add_argument("--max-keyframes", type=int, default=32)
+    pt.add_argument("--max-landmarks", type=int, default=8192)
+    pt.add_argument("--max-frames", type=int, default=0)
+    pt.set_defaults(fn=cmd_tum)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -17,7 +17,8 @@ from ..config import SfMConfig
 from ..ba import BAMode, observations_from_keyframes, run_ba
 from ..geometry.epipolar import (fundamental_from_poses,
                                  filter_matches_epipolar, homography_score,
-                                 fundamental_score)
+                                 fundamental_score, mean_transfer_error,
+                                 mean_epipolar_error)
 from ..geometry.estimation import estimate_homography
 from ..geometry.twoview import (recover_pose_from_essential,
                                 recover_pose_from_homography)
@@ -90,8 +91,15 @@ def bootstrap_step(cfg: SfMConfig, cam: CameraParams, state: SfMState,
             F_pose, uv0, uv1, X, jnp.zeros(3), jnp.zeros(3), rvec, tvec,
             cfg.epipolar_max_error, valid=good)
 
+        # the reference additionally gates the chosen model on its mean
+        # transfer / epipolar error (CSfM.cpp:871, 894, vs _maxReprErr)
+        mean_err = jax.lax.cond(
+            use_h,
+            lambda: mean_transfer_error(H, uv0, uv1, valid & h_inl),
+            lambda: mean_epipolar_error(fres.model, uv0, uv1, valid & f_inl))
         enough = (n_matches >= cfg.min_init_matches) & \
-                 (jnp.sum(keep) >= cfg.min_init_matches)
+                 (jnp.sum(keep) >= cfg.min_init_matches) & \
+                 (mean_err < cfg.max_reproj_error)
 
         def success(_):
             # seed the map: landmarks from the kept matches, observed by

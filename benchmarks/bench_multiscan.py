@@ -32,6 +32,7 @@ def main(batch=64, n_frames=48):
                     image_height=240, image_width=320, pyramid_levels=3,
                     ransac_hypotheses=64, pnp_hypotheses=32,
                     ba_iterations=4, keyframe_min_tracked=25,
+                    track_refine_iters=2,
                     keyframe_time_lag=8, min_init_matches=25,
                     mapping_tri_keyframes=4, mapping_reobs_keyframes=4)
     K = np.array([[250.0, 0, 160], [0, 250.0, 120], [0, 0, 1]], np.float32)

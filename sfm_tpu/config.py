@@ -51,6 +51,8 @@ class SfMConfig:
     pnp_hypotheses: int = 64           # PnP RANSAC hypothesis batch
     pnp_sample_size: int = 6           # 6-pt DLT pose minimal sample
     pnp_refine_iters: int = 10         # pose-only Gauss-Newton iterations
+    track_refine_iters: int = 4        # motion-only refinement over the
+                                       # widened track set (0 disables)
     max_lost_frames: int = 10          # frames below min matches before LOST
 
     # ---- keyframe policy (ref: CSfM.cpp:44, 481-498) ----

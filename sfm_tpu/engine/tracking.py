@@ -125,9 +125,12 @@ def tracking_step(cfg: SfMConfig, cam: CameraParams, state: SfMState,
         linked_all = curr_wide.kp_valid & (curr_wide.landmark >= 0)
         safe_all = jnp.where(linked_all, curr_wide.landmark, 0)
         w_all = (linked_all & lms.valid[safe_all]).astype(jnp.float32)
-        rv_ref, tv_ref = refine_pose(
-            cam.Kopt, pnp.rvec, pnp.tvec, lms.xyz[safe_all], curr_wide.xy,
-            w_all, iters=4)
+        if cfg.track_refine_iters > 0:
+            rv_ref, tv_ref = refine_pose(
+                cam.Kopt, pnp.rvec, pnp.tvec, lms.xyz[safe_all],
+                curr_wide.xy, w_all, iters=cfg.track_refine_iters)
+        else:
+            rv_ref, tv_ref = pnp.rvec, pnp.tvec
         curr_wide = curr_wide._replace(rvec=rv_ref, tvec=tv_ref)
 
         err = reprojection_errors(

@@ -23,9 +23,11 @@ class SpriteScene:
         self.size = sprite_size
         self.tex_res = tex_res
 
-    def render(self, K, rvec, tvec, h, w):
+    def render(self, K, rvec, tvec, h, w, dist=None):
         """Render one frame: sprites are world-frontoparallel textured
-        squares, painted far-to-near."""
+        squares, painted far-to-near.  ``dist`` optionally applies the
+        radial-tangential model (k1,k2,p1,p2,k3) to sprite centers so the
+        engine's undistortion path can be exercised end-to-end."""
         R = rodrigues_np(np.asarray(rvec, np.float64))
         t = np.asarray(tvec, np.float64)
         cam = self.centers @ R.T + t
@@ -36,8 +38,16 @@ class SpriteScene:
             z = cam[i, 2]
             if z < 0.5:
                 continue
-            u = fx * cam[i, 0] / z + K[0, 2]
-            v = fy * cam[i, 1] / z + K[1, 2]
+            xn, yn = cam[i, 0] / z, cam[i, 1] / z
+            if dist is not None:
+                k1, k2, p1, p2, k3 = (list(dist) + [0.0] * 5)[:5]
+                r2 = xn * xn + yn * yn
+                radial = 1.0 + r2 * (k1 + r2 * (k2 + r2 * k3))
+                xd = xn * radial + 2 * p1 * xn * yn + p2 * (r2 + 2 * xn * xn)
+                yd = yn * radial + p1 * (r2 + 2 * yn * yn) + 2 * p2 * xn * yn
+                xn, yn = xd, yd
+            u = fx * xn + K[0, 2]
+            v = fy * yn + K[1, 2]
             half_u = fx * self.size / z / 2
             half_v = fy * self.size / z / 2
             u0, u1 = int(u - half_u), int(u + half_u)

@@ -120,3 +120,31 @@ class TestKeyframeCapacity:
         valid_links = links[links >= 0]
         assert (valid_links < cfg.max_landmarks).all()
         assert eng.status in (1, 2)
+
+
+class TestDistortedCamera:
+    def test_engine_undistorts_end_to_end(self):
+        """Render through a radial-tangential model and configure the
+        engine with the same coefficients: the CFrame.cpp:169 contract
+        (undistort once into Kopt, run everything in the pinhole model)
+        must still produce an accurate trajectory."""
+        rng = np.random.default_rng(3)
+        scene = SpriteScene(rng)
+        dist = [-0.25, 0.07, 0.001, -0.0005, 0.0]
+        rvecs, tvecs = strafe_trajectory(24, step=0.07, yaw_rate=0.001)
+        eng = SfMEngine(K, (240, 320), dist, TEST_CFG)
+        for i in range(24):
+            img = scene.render(K, rvecs[i], tvecs[i], 240, 320, dist=dist)
+            m = eng.add_frame(img)
+        assert eng.status == RUNNING
+        assert int(m["n_landmarks"]) > 40
+        traj = eng.get_trajectory()
+        kfs = eng.state.kfs
+        valid = np.asarray(kfs.valid)
+        fns = np.sort(np.asarray(kfs.frames.frame_no)[valid])
+        est_c = np.stack([-rodrigues_np(traj[i, :3]).T @ traj[i, 3:]
+                          for i in range(len(traj))])
+        gt_c = np.stack([-rodrigues_np(rvecs[f]).T @ tvecs[f] for f in fns])
+        ate = umeyama_ate(est_c, gt_c)
+        extent = np.linalg.norm(gt_c[-1] - gt_c[0])
+        assert ate < 0.08 * extent

@@ -43,10 +43,11 @@ class BAStats(NamedTuple):
 
 
 def _assemble(K, rvec, tvec, xyz, obs: Observations, cam_free, lm_free,
-              huber_delta: float):
+              huber_delta: float, mode: "BAMode" = None):
     """Normal-equation blocks U [C,6,6], V [L,3,3], W [C,L,6,3],
     g_cam [C,6], g_lm [L,3] AND the (robustified) cost at the current
-    linearization point — one residual evaluation serves both."""
+    linearization point — one residual evaluation serves both.  The
+    (large) W coupling is only materialized when the mode needs it."""
     C = rvec.shape[0]
     L = xyz.shape[0]
     R = exp_so3(rvec)
@@ -65,7 +66,10 @@ def _assemble(K, rvec, tvec, xyz, obs: Observations, cam_free, lm_free,
 
     U = jnp.zeros((C, 6, 6)).at[obs.cam_idx].add(AtA)
     V = jnp.zeros((L, 3, 3)).at[obs.lm_idx].add(BtB)
-    W = jnp.zeros((C, L, 6, 3)).at[obs.cam_idx, obs.lm_idx].add(AtB)
+    if mode == BAMode.STRUCT_AND_POSE or mode is None:
+        W = jnp.zeros((C, L, 6, 3)).at[obs.cam_idx, obs.lm_idx].add(AtB)
+    else:
+        W = jnp.zeros((1, 1, 6, 3))  # unused placeholder for other modes
     g_cam = jnp.zeros((C, 6)).at[obs.cam_idx].add(-Atr)
     g_lm = jnp.zeros((L, 3)).at[obs.lm_idx].add(-Btr)
 
@@ -165,7 +169,7 @@ def run_ba(K, rvec, tvec, xyz, obs: Observations, *,
     cam_free_f = cam_free.astype(jnp.float32)
     lm_free_f = lm_free.astype(jnp.float32)
     blocks, cost0 = _assemble(K, rvec, tvec, xyz, obs, cam_free_f,
-                              lm_free_f, huber_delta)
+                              lm_free_f, huber_delta, mode)
 
     def real_body(carry):
         rvec, tvec, xyz, blocks, lam, cost, accepted, done = carry
@@ -177,7 +181,8 @@ def run_ba(K, rvec, tvec, xyz, obs: Observations, *,
             rvec, tvec, d_cam[:, :3], d_cam[:, 3:])
         xyz_new = xyz + d_lm
         blocks_new, new_cost = _assemble(K, rv_new, tv_new, xyz_new, obs,
-                                         cam_free_f, lm_free_f, huber_delta)
+                                         cam_free_f, lm_free_f, huber_delta,
+                                         mode)
         ok = (new_cost < cost) & jnp.isfinite(new_cost)
         rvec = jnp.where(ok, rv_new, rvec)
         tvec = jnp.where(ok, tv_new, tvec)

@@ -89,6 +89,12 @@ class SfMConfig:
     ba_lambda_down: float = 2.0
     ba_huber_delta: float = 0.0        # 0 disables robust loss (ref uses NULL loss)
     ba_tol: float = 3e-4               # relative cost-decrease early-exit
+    # local BA: free only the most recent N keyframe poses during the
+    # mapping-pass BA (0 = all free, the reference's behavior — its "local"
+    # BA optimizes every keyframe, CSfM.cpp:250-259).  Structure stays free
+    # either way; fixed older poses anchor the gauge like ORB-SLAM's local
+    # BA.
+    ba_local_window: int = 0
 
     # ---- scan guidance (ref: CScanGuidance.cpp:11-21) ----
     guidance_downscale: int = 4

@@ -200,10 +200,18 @@ def mapping_pass(cfg: SfMConfig, cam: CameraParams, state: SfMState,
         kfs, L, redundancy=cfg.kf_cull_redundancy,
         min_others=cfg.kf_cull_min_others)
 
-    # 5. full-map BA, gauge-fixed on the oldest keyframe (CSfM.cpp:250-259)
+    # 5. full-map BA, gauge-fixed on the oldest keyframe (CSfM.cpp:250-259);
+    #    with ba_local_window > 0 only the most recent poses are free
     obs = observations_from_keyframes(kfs, lms.valid)
     oldest = jnp.argmin(jnp.where(kfs.valid, kfs.frames.frame_no, 2**30))
     cam_free = kfs.valid.at[oldest].set(False)
+    if cfg.ba_local_window > 0:
+        recent, recent_ok = _recent_valid_slots(
+            kfs, min(cfg.ba_local_window, cfg.max_keyframes))
+        in_window = jnp.zeros_like(kfs.valid).at[
+            jnp.where(recent_ok, recent, cfg.max_keyframes)].set(
+                True, mode="drop")
+        cam_free = cam_free & in_window
     rv, tv, xyz, stats = run_ba(
         cam.Kopt, kfs.frames.rvec, kfs.frames.tvec, lms.xyz, obs,
         cam_free=cam_free, lm_free=lms.valid,

@@ -144,6 +144,17 @@ class SfMEngine:
         order = np.argsort(fn)
         return np.concatenate([rv[order], tv[order]], axis=1)
 
+    def save(self, path: str) -> None:
+        """Checkpoint the full engine state (resumable scans — the
+        persistence the reference lacks, SURVEY.md §5)."""
+        from ..io.checkpoint import save_state
+        save_state(path, self.state)
+
+    def load(self, path: str) -> None:
+        """Resume from a checkpoint written with the same SfMConfig."""
+        from ..io.checkpoint import load_state
+        self.state = load_state(path, self.config)
+
     @property
     def status(self) -> int:
         return int(self.state.status)

@@ -181,3 +181,27 @@ class TestMatcher:
                             np.asarray(valid)):
             if ok:
                 assert np.asarray(res.idx)[a] == b
+
+
+class TestRotationInvariance:
+    def test_descriptor_survives_90_degree_rotation(self, rng):
+        """The steered descriptor must match across a global image
+        rotation (the BRISK rotation-invariance property)."""
+        img = random_texture(rng, h=320, w=320)
+        img2 = np.rot90(img).copy()
+        kps1 = detect(jnp.asarray(img), max_keypoints=128, levels=3)
+        kps2 = detect(jnp.asarray(img2), max_keypoints=128, levels=3)
+        d1 = describe(build_pyramid(jnp.asarray(img), 3), kps1)
+        d2 = describe(build_pyramid(jnp.asarray(img2), 3), kps2)
+        # rotate kps1 coords into the rotated frame: (x, y) -> (y, W-1-x)
+        w = img.shape[1]
+        xy1_rot = np.stack([np.asarray(kps1.xy)[:, 1],
+                            w - 1 - np.asarray(kps1.xy)[:, 0]], -1)
+        res = match_features(
+            d1, jnp.asarray(xy1_rot.astype(np.float32)), kps1.valid,
+            d2, kps2.xy, kps2.valid,
+            min_radius=0.0, max_radius=3.0, max_distance=150.0, ratio=0.95)
+        # matched pairs must be spatially consistent (within the window by
+        # construction); require a healthy yield
+        n = int(jnp.sum(res.mask))
+        assert n > 30

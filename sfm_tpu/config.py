@@ -48,9 +48,11 @@ class SfMConfig:
 
     # ---- tracking / PnP (ref: CSfM.cpp:35, 39, 553-560) ----
     max_reproj_error: float = 7.0      # px, inlier + accuracy gate
-    pnp_hypotheses: int = 64           # PnP RANSAC hypothesis batch
+    pnp_hypotheses: int = 32           # PnP RANSAC hypothesis batch (the
+                                       # prior-pose hypothesis carries most
+                                       # of the robustness in tracking)
     pnp_sample_size: int = 6           # 6-pt DLT pose minimal sample
-    pnp_refine_iters: int = 10         # pose-only Gauss-Newton iterations
+    pnp_refine_iters: int = 6          # pose-only Gauss-Newton iterations
     track_refine_iters: int = 4        # motion-only refinement over the
                                        # widened track set (0 disables)
     max_lost_frames: int = 10          # frames below min matches before LOST
@@ -102,6 +104,12 @@ class SfMConfig:
     guidance_hist_bins_s: int = 50
     guidance_ema_alpha: float = 0.9
     guidance_backproj_threshold: float = 0.01
+
+    # ---- kernels ----
+    # Use the Pallas fused matcher for map-scale (landmarks x detections)
+    # matching.  Default off: the XLA path is within ~10% and composes
+    # with vmap unconditionally; enable for single-scan serving.
+    use_pallas_matcher: bool = False
 
     # ---- parallel / distributed ----
     mesh_axis_map: str = "map"         # axis name for landmark sharding

@@ -26,6 +26,7 @@ import jax.numpy as jnp
 from ..config import SfMConfig
 from ..ba import BAMode, observations_from_keyframes, run_ba
 from ..features.match import match_features
+from ..features.match_pallas import match_features_pallas
 from ..geometry.camera import project, depths
 from ..geometry.epipolar import fundamental_from_poses, filter_matches_epipolar
 from ..geometry.triangulate import triangulate_pair, projection_matrix
@@ -143,7 +144,9 @@ def _reobserve_all(cfg: SfMConfig, cam: CameraParams, state: SfMState
         in_img = ((proj[:, 0] >= 0) & (proj[:, 0] < W) &
                   (proj[:, 1] >= 0) & (proj[:, 1] < H) & (depth > 0))
         cand = lms.valid & ~already & in_img & ok_slot
-        res = match_features(
+        matcher = match_features_pallas if cfg.use_pallas_matcher \
+            else match_features
+        res = matcher(
             rep, proj, cand, f.desc, f.xy, f.kp_valid & ~linked,
             min_radius=0.0, max_radius=cfg.max_reproj_error,
             max_distance=cfg.match_max_distance, ratio=cfg.match_ratio,

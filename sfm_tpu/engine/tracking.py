@@ -16,12 +16,17 @@ import jax.numpy as jnp
 
 from ..config import SfMConfig
 from ..features.match import match_features
+from ..features.match_pallas import match_features_pallas
 from ..geometry.camera import project
 from ..geometry.pnp import reprojection_errors
 from ..mapstore import (add_views, add_descriptors, insert_keyframe,
                         increment_age)
 from ..ransac import ransac_pnp
 from .state import SfMState, zero_metrics, CameraParams, RUNNING, LOST
+
+
+def _map_matcher(cfg: SfMConfig):
+    return match_features_pallas if cfg.use_pallas_matcher else match_features
 
 
 def widen_tracks(cfg: SfMConfig, cam: CameraParams, lms, curr, rep):
@@ -44,7 +49,7 @@ def widen_tracks(cfg: SfMConfig, cam: CameraParams, lms, curr, rep):
     cand = lms.valid & ~already & in_img
 
     tgt_valid = curr.kp_valid & ~(curr.landmark >= 0)
-    res = match_features(
+    res = _map_matcher(cfg)(
         rep, proj, cand, curr.desc, curr.xy, tgt_valid,
         min_radius=0.0, max_radius=cfg.max_reproj_error,
         max_distance=cfg.match_max_distance, ratio=cfg.match_ratio,

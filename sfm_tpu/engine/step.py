@@ -21,20 +21,27 @@ import jax.numpy as jnp
 from ..config import SfMConfig
 from ..geometry.camera import optimal_new_camera_matrix
 from .state import (SfMState, StepMetrics, CameraParams, init_state,
-                    make_frame)
+                    make_frame, zero_metrics)
 from .bootstrap import bootstrap_step
 from .tracking import tracking_step
 from .mapping import mapping_pass
 from .reloc import reloc_step
 
 
-def build_step(cfg: SfMConfig, cam: CameraParams, defer_mapping: bool = False):
+def build_step(cfg: SfMConfig, cam: CameraParams, defer_mapping: bool = False,
+               fleet_tracking_only: bool = False):
     """Build the jittable per-frame transition function.
 
     defer_mapping=True skips the inline mapping pass and records the
     pending keyframe slot instead (see parallel/multiscan.py's bucketed
     driver — under vmap, an inline lax.cond mapping branch would execute
-    for every scan every frame)."""
+    for every scan every frame).
+
+    fleet_tracking_only=True additionally turns the bootstrap and
+    relocalization branches into no-ops (frame count still advances):
+    under vmap EVERY branch executes for EVERY scan, so the fleet's
+    steady-state step should only contain tracking; the driver dispatches
+    non-RUNNING scans through the full step in small buckets."""
 
     if defer_mapping:
         mapping_fn = None
@@ -46,10 +53,19 @@ def build_step(cfg: SfMConfig, cam: CameraParams, defer_mapping: bool = False):
              ) -> Tuple[SfMState, StepMetrics]:
         frame = make_frame(cfg, cam, image, state.frame_count)
 
+        def noop(st):
+            # cancel the outer frame-count increment: the driver re-steps
+            # this scan through the full step with the same image
+            m = zero_metrics()._replace(
+                status=st.status, n_detected=jnp.sum(frame.kp_valid))
+            return st._replace(frame_count=st.frame_count - 1), m
+
         branches = [
-            lambda st: bootstrap_step(cfg, cam, st, frame),
+            noop if fleet_tracking_only else
+            (lambda st: bootstrap_step(cfg, cam, st, frame)),
             lambda st: tracking_step(cfg, cam, st, frame, mapping_fn),
-            lambda st: reloc_step(cfg, cam, st, frame),
+            noop if fleet_tracking_only else
+            (lambda st: reloc_step(cfg, cam, st, frame)),
         ]
         state, metrics = jax.lax.switch(state.status, branches, state)
         state = state._replace(frame_count=state.frame_count + 1)

@@ -60,15 +60,17 @@ def shard_batched_state(state: SfMState, mesh: Mesh, axis: str = "scan"
 
 
 class MultiScanDriver:
-    """Bucketed multi-scan driver: deferred mapping dispatch.
+    """Bucketed multi-scan driver: deferred mapping + bucketed
+    bootstrap/relocalization dispatch.
 
-    Under vmap, lax.cond branches become selects, so a fleet step with
-    inline mapping pays the (expensive, rare) mapping pass for EVERY scan
-    EVERY frame.  This driver runs the vmapped tracking-only step (which
-    just flags scans whose keyframe insertion awaits mapping), then runs
-    the vmapped mapping pass over a fixed-size BUCKET of flagged scans —
-    so mapping compute scales with how many scans actually inserted a
-    keyframe, padded to the bucket size."""
+    Under vmap, lax.switch/cond branches become selects, so a naive fleet
+    step pays bootstrap, relocalization AND the mapping pass for EVERY
+    scan EVERY frame.  Here the steady-state vmapped step contains only
+    the tracking branch (non-RUNNING scans no-op and keyframe insertions
+    flag a pending mapping slot); the driver then dispatches
+    - the full step (bootstrap/reloc) over buckets of non-RUNNING scans,
+    - the mapping pass over buckets of pending-keyframe scans,
+    so expensive rare work scales with how many scans actually need it."""
 
     def __init__(self, cfg: SfMConfig, cam: CameraParams, batch: int,
                  bucket: int = 8):
@@ -77,9 +79,20 @@ class MultiScanDriver:
         self.cfg = cfg
         self.batch = batch
         self.bucket = bucket
-        self._step = jax.jit(
-            jax.vmap(build_step(cfg, cam, defer_mapping=True)),
+        self._track_step = jax.jit(
+            jax.vmap(build_step(cfg, cam, defer_mapping=True,
+                                fleet_tracking_only=True)),
             donate_argnums=(0,))
+        full_step = build_step(cfg, cam, defer_mapping=True)
+
+        def full_bucket(states, idx, images):
+            sub = jax.tree.map(lambda x: x[idx], states)
+            sub, m = jax.vmap(full_step)(sub, images[idx])
+            states = jax.tree.map(
+                lambda full, new: full.at[idx].set(new), states, sub)
+            return states, m
+
+        self._full_bucket = jax.jit(full_bucket, donate_argnums=(0,))
 
         def map_one(state):
             slot = state.pending_map_slot
@@ -90,7 +103,6 @@ class MultiScanDriver:
             return st._replace(pending_map_slot=jnp.asarray(-1, jnp.int32))
 
         def map_bucket(states, idx):
-            # gather flagged scans, map them, scatter back
             sub = jax.tree.map(lambda x: x[idx], states)
             sub = jax.vmap(map_one)(sub)
             return jax.tree.map(
@@ -100,14 +112,28 @@ class MultiScanDriver:
         self.states = init_batched_state(cfg, batch)
 
     def step(self, images) -> "StepMetrics":
-        """One fleet step: vmapped tracking + bucketed mapping dispatch."""
-        self.states, metrics = self._step(self.states, images)
+        """One fleet step: vmapped tracking + bucketed dispatch of
+        bootstrap/reloc (non-RUNNING scans) and mapping (pending slots)."""
+        status_before = np.asarray(self.states.status)
+        self.states, metrics = self._track_step(self.states, images)
+
+        # non-RUNNING scans re-step through the full (bootstrap/reloc) path
+        # with the same frame (the fleet no-op did not consume it)
+        not_running = status_before != 1
+        for sel in self._buckets(np.nonzero(not_running)[0]):
+            self.states, _ = self._full_bucket(self.states,
+                                               jnp.asarray(sel), images)
+
         pending = np.asarray(self.states.pending_map_slot >= 0)
-        idx = np.nonzero(pending)[0]
+        for sel in self._buckets(np.nonzero(pending)[0]):
+            self.states = self._map_bucket(self.states, jnp.asarray(sel))
+        return metrics
+
+    def _buckets(self, idx):
+        # pad by cycling the selection: duplicated entries gather the SAME
+        # pre-state and compute identical results, so the duplicate scatter
+        # writes the same value — one step applied once, not twice
         for start in range(0, len(idx), self.bucket):
             sel = idx[start:start + self.bucket]
-            # pad the bucket by repeating (idempotent: padded entries have
-            # pending slot -1 after the first mapping)
-            pad = np.resize(sel, self.bucket) if len(sel) else sel
-            self.states = self._map_bucket(self.states, jnp.asarray(pad))
-        return metrics
+            if len(sel):
+                yield np.resize(sel, self.bucket)

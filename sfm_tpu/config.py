@@ -53,6 +53,12 @@ class SfMConfig:
                                        # of the robustness in tracking)
     pnp_sample_size: int = 6           # 6-pt DLT pose minimal sample
     pnp_refine_iters: int = 6          # pose-only Gauss-Newton iterations
+    # motion-model fast path: skip the PnP hypothesis batch when the
+    # refined prior pose already explains this fraction of the matches
+    # (ORB-SLAM's track-with-motion-model).  Default off: the prior's 7 px
+    # inlier gate admits matches full RANSAC would reject, measurably
+    # degrading trajectory accuracy for ~1.5 ms/frame saved.
+    pnp_fast_path_ratio: float = 0.0
     track_refine_iters: int = 4        # motion-only refinement over the
                                        # widened track set (0 disables)
     max_lost_frames: int = 10          # frames below min matches before LOST

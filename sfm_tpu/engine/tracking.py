@@ -107,7 +107,8 @@ def tracking_step(cfg: SfMConfig, cam: CameraParams, state: SfMState,
             threshold=cfg.max_reproj_error,
             refine_iters=cfg.pnp_refine_iters,
             min_inliers=cfg.min_features,
-            prior_rvec=prev.rvec, prior_tvec=prev.tvec)
+            prior_rvec=prev.rvec, prior_tvec=prev.tvec,
+            fast_path_ratio=cfg.pnp_fast_path_ratio)
 
         # link inlier matches into the current frame (CSfM.cpp:567-576)
         inl = pnp.inliers

@@ -99,37 +99,57 @@ class PnPResult(NamedTuple):
 def ransac_pnp(key, K, xyz, uv, valid, *, n_hypotheses: int = 64,
                sample_size: int = 6, threshold: float = 7.0,
                refine_iters: int = 10, min_inliers: int = 5,
-               prior_rvec=None, prior_tvec=None) -> PnPResult:
+               prior_rvec=None, prior_tvec=None,
+               fast_path_ratio: float = 0.0) -> PnPResult:
     """PnP RANSAC (cv::solvePnPRansac(ITERATIVE, 20 it, 7 px, 0.99)).
 
     Hypotheses: ``n_hypotheses`` 6-point DLT poses + (optionally) the prior
     pose (tracking always has last frame's pose — the reference feeds it as
     the iterative solver's starting point via useExtrinsicGuess semantics).
     The best hypothesis by inlier count is refined with damped Gauss-Newton
-    on its inliers, then inliers are recomputed."""
-    samples = sample_masked(key, valid, n_hypotheses, sample_size)
+    on its inliers, then inliers are recomputed.
 
-    def one(idx):
-        w = jnp.zeros_like(valid, jnp.float32).at[idx].set(1.0) * valid
-        rv, tv = pnp_dlt(K, xyz, uv, w)
+    fast_path_ratio > 0 enables the motion-model fast path (ORB-SLAM
+    style): the refined prior pose is tried first, and when it already
+    explains at least that fraction of the valid matches, the hypothesis
+    batch is skipped entirely (a real branch under lax.cond — the
+    steady-state tracking cost drops to one refinement)."""
+
+    def refined(rv0, tv0):
+        err0 = reprojection_errors(K, rv0, tv0, xyz, uv)
+        inl0 = (err0 < threshold) & valid
+        rv, tv = refine_pose(K, rv0, tv0, xyz, uv,
+                             inl0.astype(jnp.float32), iters=refine_iters)
         err = reprojection_errors(K, rv, tv, xyz, uv)
         inl = (err < threshold) & valid
-        return rv, tv, jnp.sum(inl)
+        return rv, tv, inl, jnp.sum(inl)
 
-    rvs, tvs, counts = jax.vmap(one)(samples)
-    if prior_rvec is not None:
-        err_p = reprojection_errors(K, prior_rvec, prior_tvec, xyz, uv)
-        n_p = jnp.sum((err_p < threshold) & valid)
-        rvs = jnp.concatenate([rvs, prior_rvec[None]])
-        tvs = jnp.concatenate([tvs, prior_tvec[None]])
-        counts = jnp.concatenate([counts, n_p[None]])
-    best = jnp.argmax(counts)
-    rv, tv = rvs[best], tvs[best]
-    err = reprojection_errors(K, rv, tv, xyz, uv)
-    inl = (err < threshold) & valid
-    rv, tv = refine_pose(K, rv, tv, xyz, uv, inl.astype(jnp.float32),
-                         iters=refine_iters)
-    err = reprojection_errors(K, rv, tv, xyz, uv)
-    inl = (err < threshold) & valid
-    n = jnp.sum(inl)
-    return PnPResult(rv, tv, inl, n, n >= min_inliers)
+    def full_ransac(_):
+        samples = sample_masked(key, valid, n_hypotheses, sample_size)
+
+        def one(idx):
+            w = jnp.zeros_like(valid, jnp.float32).at[idx].set(1.0) * valid
+            rv, tv = pnp_dlt(K, xyz, uv, w)
+            err = reprojection_errors(K, rv, tv, xyz, uv)
+            inl = (err < threshold) & valid
+            return rv, tv, jnp.sum(inl)
+
+        rvs, tvs, counts = jax.vmap(one)(samples)
+        if prior_rvec is not None:
+            err_p = reprojection_errors(K, prior_rvec, prior_tvec, xyz, uv)
+            n_p = jnp.sum((err_p < threshold) & valid)
+            rvs = jnp.concatenate([rvs, prior_rvec[None]])
+            tvs = jnp.concatenate([tvs, prior_tvec[None]])
+            counts = jnp.concatenate([counts, n_p[None]])
+        best = jnp.argmax(counts)
+        rv, tv, inl, n = refined(rvs[best], tvs[best])
+        return PnPResult(rv, tv, inl, n, n >= min_inliers)
+
+    if prior_rvec is None or fast_path_ratio <= 0.0:
+        return full_ransac(None)
+
+    rv_f, tv_f, inl_f, n_f = refined(prior_rvec, prior_tvec)
+    n_valid = jnp.sum(valid)
+    good = (n_f >= fast_path_ratio * n_valid) & (n_f >= min_inliers)
+    fast = PnPResult(rv_f, tv_f, inl_f, n_f, n_f >= min_inliers)
+    return jax.lax.cond(good, lambda _: fast, full_ransac, None)

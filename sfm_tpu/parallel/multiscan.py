@@ -40,16 +40,7 @@ def build_sharded_step(cfg: SfMConfig, cam: CameraParams, mesh: Mesh,
     collectives (scans are independent) so scaling is embarrassingly
     parallel over ICI-connected chips."""
     vstep = build_batched_step(cfg, cam)
-    shard = NamedSharding(mesh, P(axis))
-    repl = NamedSharding(mesh, P())
-
-    def spec_like(tree):
-        return jax.tree.map(lambda _: shard, tree)
-
-    def step(states, images):
-        return vstep(states, images)
-
-    return jax.jit(step, donate_argnums=(0,))
+    return jax.jit(vstep, donate_argnums=(0,))
 
 
 def shard_batched_state(state: SfMState, mesh: Mesh, axis: str = "scan"

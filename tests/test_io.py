@@ -160,3 +160,33 @@ class TestCLI:
         assert len(lines) == 14
         assert lines[-1]["status"] == 1
         assert os.path.exists(ck)
+
+
+class TestEngineCheckpointMethods:
+    def test_engine_save_load_resume(self, tmp_path):
+        from sfm_tpu.config import SfMConfig
+        from sfm_tpu.engine import SfMEngine
+        from sfm_tpu.synthetic import SpriteScene, strafe_trajectory
+        rng = np.random.default_rng(3)
+        scene = SpriteScene(rng)
+        K = np.array([[250., 0, 160], [0, 250., 120], [0, 0, 1]], np.float32)
+        rv, tv = strafe_trajectory(12, step=0.06, yaw_rate=0.001)
+        cfg = SfMConfig(max_keypoints=192, max_keyframes=8,
+                        max_landmarks=1024, image_height=240,
+                        image_width=320, pyramid_levels=3,
+                        ransac_hypotheses=64, pnp_hypotheses=32,
+                        ba_iterations=6, keyframe_min_tracked=15,
+                        keyframe_time_lag=6, min_init_matches=25)
+        eng = SfMEngine(K, (240, 320), None, cfg)
+        for i in range(6):
+            eng.add_frame(scene.render(K, rv[i], tv[i], 240, 320))
+        ck = str(tmp_path / "scan.npz")
+        eng.save(ck)
+        # resume into a fresh engine and continue the scan
+        eng2 = SfMEngine(K, (240, 320), None, cfg)
+        eng2.load(ck)
+        assert eng2.status == eng.status
+        for i in range(6, 12):
+            m = eng2.add_frame(scene.render(K, rv[i], tv[i], 240, 320))
+        assert int(m["status"]) == 1
+        assert int(m["n_landmarks"]) > 30

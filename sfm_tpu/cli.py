@@ -34,7 +34,9 @@ def cmd_scan(args) -> int:
     cfg = SfMConfig(image_height=h, image_width=w,
                     max_keypoints=args.max_keypoints,
                     max_keyframes=args.max_keyframes,
-                    max_landmarks=args.max_landmarks)
+                    max_landmarks=args.max_landmarks,
+                    pnp_solver=args.pnp_solver,
+                    feature_dtype=args.feature_dtype)
     K = np.array([[args.fx, 0, args.cx], [0, args.fy, args.cy], [0, 0, 1]],
                  np.float32)
     eng = SfMEngine(K, (h, w), args.dist, cfg)
@@ -185,6 +187,12 @@ def main(argv=None) -> int:
     ps.add_argument("--max-keyframes", type=int, default=32)
     ps.add_argument("--max-landmarks", type=int, default=8192)
     ps.add_argument("--max-frames", type=int, default=0)
+    ps.add_argument("--pnp-solver", choices=["dlt", "p3p"], default="dlt",
+                    help="PnP minimal solver (p3p: 3-pt Grunert, tolerates"
+                         " lower inlier ratios)")
+    ps.add_argument("--feature-dtype", choices=["float32", "bfloat16"],
+                    default="float32",
+                    help="dense detector/descriptor compute dtype")
     ps.add_argument("--checkpoint", default=None,
                     help="save engine state npz at the end")
     ps.add_argument("--resume", default=None,

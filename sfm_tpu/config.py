@@ -30,6 +30,9 @@ class SfMConfig:
 
     # ---- detector (ref: BRISK thresh 60, 6 octaves — CTracker.cpp:43) ----
     fast_threshold: float = 20.0   # FAST-score intensity threshold (0..255 scale)
+    feature_dtype: str = "float32"  # dense detector/descriptor compute dtype
+                                    # ("bfloat16" halves the memory-bound
+                                    # detection cost; geometry stays f32)
     nms_radius: int = 2            # non-max suppression radius (pixels)
 
     # ---- matcher (ref: CTracker.cpp:27-40) ----
@@ -52,6 +55,10 @@ class SfMConfig:
                                        # prior-pose hypothesis carries most
                                        # of the robustness in tracking)
     pnp_sample_size: int = 6           # 6-pt DLT pose minimal sample
+    pnp_solver: str = "dlt"            # "dlt" (6-pt) or "p3p" (3-pt minimal
+                                       # Grunert solver: 4 candidate poses
+                                       # per sample; tolerates much lower
+                                       # inlier ratios at equal batch size)
     pnp_refine_iters: int = 6          # pose-only Gauss-Newton iterations
     # motion-model fast path: skip the PnP hypothesis batch when the
     # refined prior pose already explains this fraction of the matches

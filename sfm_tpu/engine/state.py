@@ -100,11 +100,17 @@ def make_frame(cfg: SfMConfig, cam: CameraParams, image: jnp.ndarray,
                frame_no: jnp.ndarray) -> Frame:
     """CFrame::setFrame + setKeyPoints equivalent: detect, describe, and
     undistort all points into the Kopt pinhole model (CFrame.cpp:156-227)."""
-    kps = detect(image, max_keypoints=cfg.max_keypoints,
-                 levels=cfg.pyramid_levels, threshold=cfg.fast_threshold,
-                 nms_radius=cfg.nms_radius)
-    pyr = build_pyramid(image, cfg.pyramid_levels)
-    desc = describe(pyr, kps, cfg.desc_bits)
+    from ..features.descriptor import describe_canvas
+    compute_dtype = (jnp.bfloat16 if cfg.feature_dtype == "bfloat16"
+                     else None)
+    kps, canvas = detect(image, max_keypoints=cfg.max_keypoints,
+                         levels=cfg.pyramid_levels,
+                         threshold=cfg.fast_threshold,
+                         nms_radius=cfg.nms_radius,
+                         compute_dtype=compute_dtype, return_canvas=True)
+    desc = describe_canvas(canvas, kps, cfg.pyramid_levels,
+                           cfg.image_width, cfg.desc_bits,
+                           compute_dtype=compute_dtype)
     xy_und = undistort_pixels(cam.K, cam.d, cam.Kopt, kps.xy)
     # sample intensity at the keypoint for landmark coloring (grayscale
     # replicated; the color path feeds real RGB when available)

@@ -108,7 +108,8 @@ def tracking_step(cfg: SfMConfig, cam: CameraParams, state: SfMState,
             refine_iters=cfg.pnp_refine_iters,
             min_inliers=cfg.min_features,
             prior_rvec=prev.rvec, prior_tvec=prev.tvec,
-            fast_path_ratio=cfg.pnp_fast_path_ratio)
+            fast_path_ratio=cfg.pnp_fast_path_ratio,
+            solver=cfg.pnp_solver)
 
         # link inlier matches into the current frame (CSfM.cpp:567-576)
         inl = pnp.inliers

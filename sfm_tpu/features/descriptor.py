@@ -108,10 +108,19 @@ def bilinear(img: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
 
 
 def smooth(img: jnp.ndarray, k: int = 5) -> jnp.ndarray:
-    """k x k box blur (the pre-descriptor smoothing BRIEF requires)."""
-    w = jnp.ones((k, k), img.dtype) / (k * k)
-    return jax.lax.conv_general_dilated(
-        img[None, None], w[None, None], (1, 1), "SAME")[0, 0]
+    """k x k box blur (the pre-descriptor smoothing BRIEF requires).
+
+    Separable shift-add formulation: lax.conv on [H,W] images lowered to a
+    pathologically slow kernel on TPU (18 ms for a 5x5/[480,1200] conv);
+    the same blur as 2(k-1) rolls + adds fuses into one VPU pass."""
+    r = k // 2
+    acc = img
+    for d in range(1, r + 1):
+        acc = acc + jnp.roll(img, d, 1) + jnp.roll(img, -d, 1)
+    out = acc
+    for d in range(1, r + 1):
+        out = out + jnp.roll(acc, d, 0) + jnp.roll(acc, -d, 0)
+    return out / (k * k)
 
 
 def extract_patches(pyr_s: jnp.ndarray, level_xy: jnp.ndarray,
@@ -149,22 +158,23 @@ def orientation(pyr_s: jnp.ndarray, level_xy: jnp.ndarray,
     return orientation_from_patches(patches)
 
 
-def describe(pyr: jnp.ndarray, kps: Keypoints, desc_bits: int = 512
-             ) -> jnp.ndarray:
-    """Packed descriptors [N, desc_bits//32] uint32 for a keypoint set."""
-    Wbins_np, _, _ = _tables(desc_bits)
-    pyr_s = jax.vmap(smooth)(pyr)
+def _bits_from_patches(patches: jnp.ndarray, desc_bits: int,
+                       compute_dtype=None) -> jnp.ndarray:
+    """Orientation-steered comparison bits from centered patches [N,P,P].
 
-    scale = jnp.exp2(kps.level.astype(jnp.float32))
-    level_xy = (kps.xy - 0.5 * (scale[:, None] - 1.0)) / scale[:, None]
-
-    patches = extract_patches(pyr_s, level_xy, kps.level)
+    compute_dtype=bfloat16 halves the HBM/MXU cost of the 32 bin matmuls;
+    descriptor bits are signs of weighted intensity differences, so bf16
+    rounding only flips near-zero comparisons (noise far below the
+    cross-frame sampling noise)."""
     theta = orientation_from_patches(patches, desc_bits)
     bin_idx = jnp.round(theta / (2.0 * jnp.pi / N_BINS)).astype(jnp.int32) \
         % N_BINS
-
+    Wbins_np, _, _ = _tables(desc_bits)
     flat = patches.reshape(patches.shape[0], -1)       # [N, PATCH^2]
     Wbins = jnp.asarray(Wbins_np)                      # [B, bits, PATCH^2]
+    if compute_dtype is not None:
+        flat = flat.astype(compute_dtype)
+        Wbins = Wbins.astype(compute_dtype)
     acc = jnp.zeros((flat.shape[0], desc_bits), jnp.float32)
     for b in range(N_BINS):
         sel = (bin_idx == b).astype(flat.dtype)[:, None]
@@ -173,3 +183,47 @@ def describe(pyr: jnp.ndarray, kps: Keypoints, desc_bits: int = 512
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
     return pack_bits(acc > 0)
+
+
+def describe(pyr: jnp.ndarray, kps: Keypoints, desc_bits: int = 512
+             ) -> jnp.ndarray:
+    """Packed descriptors [N, desc_bits//32] uint32 for a keypoint set
+    (stacked-pyramid path, used by the flow pipeline and tests)."""
+    pyr_s = jax.vmap(smooth)(pyr)
+    scale = jnp.exp2(kps.level.astype(jnp.float32))
+    level_xy = (kps.xy - 0.5 * (scale[:, None] - 1.0)) / scale[:, None]
+    patches = extract_patches(pyr_s, level_xy, kps.level)
+    return _bits_from_patches(patches, desc_bits)
+
+
+def describe_canvas(canvas: jnp.ndarray, kps: Keypoints, levels: int,
+                    image_width: int, desc_bits: int = 512,
+                    compute_dtype=None) -> jnp.ndarray:
+    """Packed descriptors from the side-by-side pyramid canvas (see
+    detect.canvas_layout): ONE smoothing pass over the canvas, then one
+    2-D dynamic slice per keypoint at (y, x + column offset of its level).
+    The detection border guarantees patches never cross a level band."""
+    from .detect import canvas_layout
+    H = canvas.shape[0]
+    lay = canvas_layout(H, image_width, levels)
+    assert lay.width == canvas.shape[1], "canvas/layout mismatch"
+    canvas_s = smooth(canvas)
+    scale = jnp.exp2(kps.level.astype(jnp.float32))
+    level_xy = (kps.xy - 0.5 * (scale[:, None] - 1.0)) / scale[:, None]
+    offs = jnp.asarray(np.array(lay.offsets, np.int32))
+    cx = level_xy[:, 0] + offs[kps.level].astype(jnp.float32)
+    cy = level_xy[:, 1]
+
+    def one(cx, cy):
+        x0 = jnp.floor(cx).astype(jnp.int32) - PATCH_RADIUS
+        y0 = jnp.floor(cy).astype(jnp.int32) - PATCH_RADIUS
+        raw = jax.lax.dynamic_slice(canvas_s, (y0, x0),
+                                    (PATCH + 1, PATCH + 1))
+        fx = (cx - jnp.floor(cx)).astype(raw.dtype)
+        fy = (cy - jnp.floor(cy)).astype(raw.dtype)
+        top = (1 - fx) * raw[:-1, :-1] + fx * raw[:-1, 1:]
+        bot = (1 - fx) * raw[1:, :-1] + fx * raw[1:, 1:]
+        return (1 - fy) * top + fy * bot
+
+    patches = jax.vmap(one)(cx, cy).astype(jnp.float32)
+    return _bits_from_patches(patches, desc_bits, compute_dtype)

@@ -57,26 +57,36 @@ def fast_score(img: jnp.ndarray, threshold: float) -> jnp.ndarray:
     than center + t or all darker than center - t.  Score is the AGAST-style
     sum of thresholded absolute differences over the circle, gated by the
     corner test.  Pure shift/compare map algebra — VPU-friendly, no gathers.
-    """
-    shifted = jnp.stack(
-        [jnp.roll(img, (-int(dy), -int(dx)), axis=(0, 1)) for dy, dx in _CIRCLE])
-    diff = shifted - img[None]
-    bright = diff > threshold
-    dark = diff < -threshold
+    Written as an expression DAG over 16 shifted reads (no stacked [16,H,W]
+    intermediate: stacking forced multi-MB materialization on TPU)."""
+    threshold = jnp.asarray(threshold, img.dtype)
+    shifted = [jnp.roll(img, (-int(dy), -int(dx)), axis=(0, 1))
+               for dy, dx in _CIRCLE]
+    # per-pixel 16-bit circle bitboards (bit k = circle position k passes),
+    # then the contiguous-run test as log-doubling shift-ANDs: ~9x fewer
+    # VPU ops than materializing all 16 arc starts
+    one = jnp.asarray(1, jnp.int32)
+    bright = jnp.zeros(img.shape, jnp.int32)
+    dark = jnp.zeros(img.shape, jnp.int32)
+    for k, s in enumerate(shifted):
+        diff = s - img
+        bright = bright | jnp.where(diff > threshold, one << k, 0)
+        dark = dark | jnp.where(-diff > threshold, one << k, 0)
 
-    def has_arc(mask):
-        # run-length >= _ARC of circularly contiguous True values:
-        # AND of _ARC consecutive positions, any start
-        m = jnp.concatenate([mask, mask[:_ARC - 1]], axis=0)
-        acc = m[:16]
-        for k in range(1, _ARC):
-            acc = acc & m[k:k + 16]
-        return jnp.any(acc, axis=0)
+    def has_run(m):
+        # circular run of >= _ARC (9) set bits among the low 16
+        m2 = m | (m << 16)
+        a = m2 & (m2 >> 1)          # runs >= 2
+        a = a & (a >> 2)            # runs >= 4
+        a = a & (a >> 4)            # runs >= 8
+        a = a & (m2 >> 8)           # runs >= 9
+        return (a & 0xFFFF) != 0
 
-    corner = has_arc(bright) | has_arc(dark)
-    mag = jnp.maximum(jnp.abs(diff) - threshold, 0.0)
-    score = jnp.sum(mag, axis=0)
-    return jnp.where(corner, score, 0.0)
+    corner = has_run(bright) | has_run(dark)
+    zero = jnp.asarray(0.0, img.dtype)
+    score = sum(jnp.maximum(jnp.abs(s - img) - threshold, zero)
+                for s in shifted)
+    return jnp.where(corner, score, zero)
 
 
 def shi_tomasi_score(img: jnp.ndarray, sigma_window: int = 3) -> jnp.ndarray:
@@ -105,66 +115,135 @@ def nms(score: jnp.ndarray, radius: int) -> jnp.ndarray:
     return jnp.where(score >= pooled, score, 0.0)
 
 
+class CanvasLayout(NamedTuple):
+    """Static geometry of the side-by-side pyramid canvas.
+
+    All pyramid levels are packed into ONE [H, width] image, level l
+    occupying columns [offsets[l], offsets[l] + W>>l) (top-aligned).  One
+    dense FAST/NMS/smooth pass then covers every level in a single kernel
+    — 4 full-resolution passes (the padded-stack layout) collapse to one
+    1.33x-resolution pass, and patch extraction needs no [L,H,W] stack.
+    Constant masks keep levels from bleeding into each other: the per-level
+    detection border (>= patch radius + 2) guarantees neither NMS windows
+    nor descriptor patches cross a level boundary."""
+    offsets: tuple          # per-level first column (python ints, static)
+    width: int              # total canvas width
+    heights: tuple          # per-level content height
+    widths: tuple           # per-level content width
+    inside: "np.ndarray"    # [H, width] f32 border mask (numpy constant)
+    lvl_of_col: "np.ndarray"   # [width] int32 level of each column
+    xoff_of_col: "np.ndarray"  # [width] int32 offsets[level] per column
+
+
+_LAYOUTS = {}
+
+
+def canvas_layout(H: int, W: int, levels: int, border: int = 20
+                  ) -> CanvasLayout:
+    key = (H, W, levels, border)
+    if key in _LAYOUTS:
+        return _LAYOUTS[key]
+    offsets, heights, widths = [], [], []
+    off = 0
+    h, w = H, W
+    for _ in range(levels):
+        offsets.append(off)
+        heights.append(h)
+        widths.append(w)
+        off += w
+        h, w = h // 2, w // 2
+    width = off
+    inside = np.zeros((H, width), np.float32)
+    lvl_of_col = np.zeros(width, np.int32)
+    xoff_of_col = np.zeros(width, np.int32)
+    for l in range(levels):
+        o, h, w = offsets[l], heights[l], widths[l]
+        inside[border:h - border, o + border:o + w - border] = 1.0
+        lvl_of_col[o:o + w] = l
+        xoff_of_col[o:o + w] = o
+    _LAYOUTS[key] = CanvasLayout(
+        offsets=tuple(offsets), width=width, heights=tuple(heights),
+        widths=tuple(widths), inside=inside, lvl_of_col=lvl_of_col,
+        xoff_of_col=xoff_of_col)
+    return _LAYOUTS[key]
+
+
+def build_canvas(img: jnp.ndarray, levels: int,
+                 dtype=None) -> jnp.ndarray:
+    """Grey image [H, W] -> side-by-side pyramid canvas [H, sum(W>>l)].
+    Level l is the 2^l box-downsampled image in its column band (zero
+    padding below shorter levels)."""
+    H, W = img.shape
+    if dtype is not None:
+        img = img.astype(dtype)
+    cols = [img]
+    cur = img
+    for _ in range(levels - 1):
+        h, w = cur.shape
+        cur = cur[:h // 2 * 2, :w // 2 * 2]
+        h, w = cur.shape
+        cur = 0.25 * (cur[0:h:2, 0:w:2] + cur[1:h:2, 0:w:2]
+                      + cur[0:h:2, 1:w:2] + cur[1:h:2, 1:w:2])
+        cols.append(jnp.pad(cur, ((0, H - cur.shape[0]), (0, 0))))
+    return jnp.concatenate(cols, axis=1)
+
+
 def detect(img: jnp.ndarray, *, max_keypoints: int, levels: int = 4,
            threshold: float = 20.0, nms_radius: int = 2,
-           border: int = 20) -> Keypoints:
-    """Full detection pipeline: pyramid -> FAST score -> NMS -> top-K.
+           border: int = 20, compute_dtype=None,
+           return_canvas: bool = False):
+    """Full detection pipeline: pyramid canvas -> FAST score -> NMS ->
+    global top-K -> subpixel refinement.
 
     Returns keypoints in full-resolution (distorted) pixel coordinates,
-    sorted by descending score, with validity mask (score > 0)."""
+    sorted by descending score, with validity mask (score > 0).  With
+    return_canvas=True also returns the pyramid canvas (reused by the
+    descriptor, saving a rebuild).  compute_dtype (e.g. jnp.bfloat16)
+    selects the dense-pass precision: detector scores are sums of
+    thresholded intensity differences, robust to bf16 rounding, and the
+    dense passes are memory-bound — bf16 halves their HBM traffic."""
     H, W = img.shape
-    pyr = build_pyramid(img, levels)
-
-    raw = jnp.stack([fast_score(pyr[l], threshold) for l in range(levels)])
-
-    def level_scores(lvl):
-        s = nms(raw[lvl], nms_radius)
-        h = H >> lvl
-        w = W >> lvl
-        yy = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
-        xx = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
-        inside = ((yy >= border) & (yy < h - border) &
-                  (xx >= border) & (xx < w - border))
-        return jnp.where(inside, s, 0.0)
-
-    per_level = jnp.stack(
-        [level_scores(l) for l in range(levels)])           # [L, H, W]
-
-    # per-level top-(K) then global top-K keeps the sort small
+    lay = canvas_layout(H, W, levels, border)
+    canvas = build_canvas(img, levels, dtype=compute_dtype)
+    WC = lay.width
     K = max_keypoints
-    flat = per_level.reshape(levels, H * W)
-    vals, idxs = jax.lax.top_k(flat, K)                     # [L, K]
-    lvl_ids = jax.lax.broadcasted_iota(jnp.int32, (levels, K), 0)
-    vals = vals.reshape(-1)
-    idxs = idxs.reshape(-1)
-    lvl_ids = lvl_ids.reshape(-1)
-    top_vals, sel = jax.lax.top_k(vals, K)
-    sel_idx = idxs[sel]
-    sel_lvl = lvl_ids[sel]
-    yi = sel_idx // W
-    xi = sel_idx % W
+
+    raw = fast_score(canvas, threshold)
+    s = nms(raw, nms_radius) * jnp.asarray(lay.inside, raw.dtype)
+    s = s.astype(jnp.float32)
+    # tie-break equal scores toward finer pyramid levels (the finer level
+    # localizes better); the bias is far below any real score spacing
+    bias = jnp.asarray(
+        1e-3 * (levels - 1 - lay.lvl_of_col)[None, :].astype(np.float32))
+    s = jnp.where(s > 0, s + bias, 0.0)
+    top_vals, idx = jax.lax.top_k(s.reshape(-1), K)
+    yi = idx // WC
+    xc = idx % WC
+    sel_lvl = jnp.asarray(lay.lvl_of_col)[xc]
+    xi = xc - jnp.asarray(lay.xoff_of_col)[xc]
+
     # subpixel refinement: 1D quadratic fit on the (pre-NMS) score surface
     # along each axis; offsets clamped to +-0.5
-    def subpix(l, y, x):
-        s0 = raw[l, y, x]
-        sl = raw[l, y, jnp.maximum(x - 1, 0)]
-        sr = raw[l, y, jnp.minimum(x + 1, W - 1)]
-        su = raw[l, jnp.maximum(y - 1, 0), x]
-        sd = raw[l, jnp.minimum(y + 1, H - 1), x]
-        # quadratic vertex (sl - sr) / (2 (sl + sr - 2 s0)); the curvature
-        # is <= 0 at a maximum, so guard on its magnitude
-        cx = sl + sr - 2 * s0
-        cy = su + sd - 2 * s0
-        dx = jnp.where(jnp.abs(cx) > 1e-6, (sl - sr) / (2 * cx), 0.0)
-        dy = jnp.where(jnp.abs(cy) > 1e-6, (su - sd) / (2 * cy), 0.0)
-        return (jnp.clip(dx, -0.5, 0.5), jnp.clip(dy, -0.5, 0.5))
-    dx, dy = jax.vmap(subpix)(sel_lvl, yi, xi)
-    y = yi.astype(jnp.float32) + dy
-    x = xi.astype(jnp.float32) + dx
-    scale = jnp.exp2(sel_lvl.astype(jnp.float32))
+    f32 = jnp.float32
+    s0 = raw[yi, xc].astype(f32)
+    sl = raw[yi, jnp.maximum(xc - 1, 0)].astype(f32)
+    sr = raw[yi, jnp.minimum(xc + 1, WC - 1)].astype(f32)
+    su = raw[jnp.maximum(yi - 1, 0), xc].astype(f32)
+    sd = raw[jnp.minimum(yi + 1, H - 1), xc].astype(f32)
+    cx = sl + sr - 2 * s0
+    cy = su + sd - 2 * s0
+    dx = jnp.where(jnp.abs(cx) > 1e-6, (sl - sr) / (2 * cx), 0.0)
+    dy = jnp.where(jnp.abs(cy) > 1e-6, (su - sd) / (2 * cy), 0.0)
+    dx = jnp.clip(dx, -0.5, 0.5)
+    dy = jnp.clip(dy, -0.5, 0.5)
+    y = yi.astype(f32) + dy
+    x = xi.astype(f32) + dx
+    scale = jnp.exp2(sel_lvl.astype(f32))
     # full-res coordinate: center of the level pixel footprint
     xy = jnp.stack([x * scale + 0.5 * (scale - 1.0),
                     y * scale + 0.5 * (scale - 1.0)], axis=-1)
-    valid = top_vals > 0.0
-    return Keypoints(xy=xy, score=top_vals, level=sel_lvl,
-                     valid=valid)
+    kps = Keypoints(xy=xy, score=top_vals, level=sel_lvl,
+                    valid=top_vals > 0.0)
+    if return_canvas:
+        return kps, canvas
+    return kps

@@ -81,9 +81,13 @@ def distort_norm(d: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
 def undistort_norm(d: jnp.ndarray, xy_dist: jnp.ndarray,
                    iters: int = 8) -> jnp.ndarray:
     """Invert the distortion by fixed-point iteration (cv::undistortPoints
-    does the same).  Fixed trip count -> jit-friendly."""
-    def body(_, xy):
-        k1, k2, p1, p2, k3 = d[0], d[1], d[2], d[3], d[4]
+    does the same).  Unrolled: a lax.fori_loop here cost ~0.7 ms/iteration
+    of pure loop overhead on TPU for this tiny [N,2] body; unrolling lets
+    XLA fuse all iterations into one kernel (and fold them away entirely
+    when d is a compile-time zero constant)."""
+    k1, k2, p1, p2, k3 = d[0], d[1], d[2], d[3], d[4]
+    xy = xy_dist
+    for _ in range(iters):
         x, y = xy[..., 0], xy[..., 1]
         r2 = x * x + y * y
         radial = 1.0 + r2 * (k1 + r2 * (k2 + r2 * k3))
@@ -91,9 +95,8 @@ def undistort_norm(d: jnp.ndarray, xy_dist: jnp.ndarray,
         dy = p1 * (r2 + 2.0 * y * y) + 2.0 * p2 * x * y
         x_new = (xy_dist[..., 0] - dx) / radial
         y_new = (xy_dist[..., 1] - dy) / radial
-        return jnp.stack([x_new, y_new], axis=-1)
-
-    return jax.lax.fori_loop(0, iters, body, xy_dist)
+        xy = jnp.stack([x_new, y_new], axis=-1)
+    return xy
 
 
 def undistort_pixels(K: jnp.ndarray, d: jnp.ndarray, Kopt: jnp.ndarray,

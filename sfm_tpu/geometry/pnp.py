@@ -74,6 +74,142 @@ def pnp_dlt(K: jnp.ndarray, xyz: jnp.ndarray, uv: jnp.ndarray,
     return log_so3(R), t
 
 
+def _real_cubic_root(b, c, d):
+    """Largest real root of x^3 + b x^2 + c x + d (trigonometric method,
+    branch-free)."""
+    p = c - b * b / 3.0
+    q = 2.0 * b ** 3 / 27.0 - b * c / 3.0 + d
+    # three-real-root case (discriminant <= 0): Viete
+    p_ = jnp.minimum(p, -1e-12)
+    m = 2.0 * jnp.sqrt(-p_ / 3.0)
+    acos_arg = jnp.clip(3.0 * q / (p_ * m), -1.0, 1.0)
+    theta = jnp.arccos(acos_arg) / 3.0
+    root_tri = m * jnp.cos(theta) - b / 3.0
+    # one-real-root case (discriminant > 0): Cardano
+    disc = q * q / 4.0 + p ** 3 / 27.0
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    cbrt = lambda x: jnp.sign(x) * jnp.abs(x) ** (1.0 / 3.0)
+    root_car = cbrt(-q / 2.0 + sq) + cbrt(-q / 2.0 - sq) - b / 3.0
+    return jnp.where(disc > 0, root_car, root_tri)
+
+
+def _quartic_roots(A4, A3, A2, A1, A0):
+    """Real roots of A4 x^4 + ... + A0 (Ferrari).  Returns (roots [4],
+    valid [4]); invalid slots hold 0."""
+    A4s = jnp.where(jnp.abs(A4) < 1e-12, jnp.sign(A4) * 1e-12 + 1e-12, A4)
+    p = A3 / A4s
+    q = A2 / A4s
+    r = A1 / A4s
+    s = A0 / A4s
+    al = q - 3.0 * p * p / 8.0
+    be = r - p * q / 2.0 + p ** 3 / 8.0
+    ga = s - p * r / 4.0 + p * p * q / 16.0 - 3.0 * p ** 4 / 256.0
+    # resolvent cubic 8m^3 + 8 al m^2 + (2 al^2 - 8 ga) m - be^2 = 0
+    m = _real_cubic_root(al, al * al / 4.0 - ga, -be * be / 8.0)
+    m = jnp.maximum(m, 1e-12)
+    w = jnp.sqrt(2.0 * m)
+    # y^2 + w y + (al/2 + m - be/(2w)) = 0 ; y^2 - w y + (al/2 + m + be/(2w))
+    c1 = al / 2.0 + m - be / (2.0 * w)
+    c2 = al / 2.0 + m + be / (2.0 * w)
+    d1 = w * w - 4.0 * c1
+    d2 = w * w - 4.0 * c2
+    s1 = jnp.sqrt(jnp.maximum(d1, 0.0))
+    s2 = jnp.sqrt(jnp.maximum(d2, 0.0))
+    ys = jnp.stack([(-w + s1) / 2.0, (-w - s1) / 2.0,
+                    (w + s2) / 2.0, (w - s2) / 2.0])
+    valid = jnp.stack([d1 >= 0, d1 >= 0, d2 >= 0, d2 >= 0])
+    roots = ys - p / 4.0
+    # Newton-polish each root on the original quartic (2 iterations)
+    def f(x):
+        return (((A4 * x + A3) * x + A2) * x + A1) * x + A0
+    def fp(x):
+        return ((4 * A4 * x + 3 * A3) * x + 2 * A2) * x + A1
+    for _ in range(2):
+        roots = roots - f(roots) / jnp.where(
+            jnp.abs(fp(roots)) < 1e-9, 1e-9, fp(roots))
+    return jnp.where(valid, roots, 0.0), valid
+
+
+def p3p(K: jnp.ndarray, xyz3: jnp.ndarray, uv3: jnp.ndarray):
+    """Grunert P3P: up to 4 camera poses from exactly 3 correspondences
+    (the minimal PnP solver — 3-point RANSAC samples survive far lower
+    inlier ratios than the 6-point DLT).  xyz3 [3,3] world points, uv3
+    [3,2] pixels.  Returns (rvecs [4,3], tvecs [4,3], valid [4]).
+
+    Derivation follows Grunert's distance-equation system (see Haralick et
+    al., "Review and analysis of solutions of the three point perspective
+    pose estimation problem"): quartic in the distance ratio v = s3/s1,
+    Newton-polished, then 3-point Kabsch for the rigid transform."""
+    Kinv = jnp.linalg.inv(K)
+    ones = jnp.ones((3, 1), uv3.dtype)
+    f = jnp.concatenate([uv3, ones], axis=1) @ Kinv.T
+    f = f / jnp.linalg.norm(f, axis=1, keepdims=True)   # bearing vectors
+    P1, P2, P3 = xyz3[0], xyz3[1], xyz3[2]
+    ca = jnp.dot(f[1], f[2])      # angle opposite side a = |P2-P3|
+    cb = jnp.dot(f[0], f[2])      # angle opposite side b = |P1-P3|
+    cg = jnp.dot(f[0], f[1])      # angle opposite side c = |P1-P2|
+    a2 = jnp.sum((P2 - P3) ** 2)
+    b2 = jnp.maximum(jnp.sum((P1 - P3) ** 2), 1e-12)
+    c2 = jnp.sum((P1 - P2) ** 2)
+    A = a2 / b2
+    C = c2 / b2
+    qr = (a2 - c2) / b2
+    A4 = (qr - 1.0) ** 2 - 4.0 * C * ca * ca
+    A3 = 4.0 * (qr * (1.0 - qr) * cb - (1.0 - (A + C)) * ca * cg
+                + 2.0 * C * ca * ca * cb)
+    A2_ = 2.0 * (qr * qr - 1.0 + 2.0 * qr * qr * cb * cb
+                 + 2.0 * (1.0 - C) * ca * ca
+                 - 4.0 * (A + C) * ca * cb * cg + 2.0 * (1.0 - A) * cg * cg)
+    A1 = 4.0 * (-qr * (1.0 + qr) * cb + 2.0 * A * cg * cg * cb
+                - (1.0 - (A + C)) * ca * cg)
+    A0 = (1.0 + qr) ** 2 - 4.0 * A * cg * cg
+    v, v_ok = _quartic_roots(A4, A3, A2_, A1, A0)       # [4]
+
+    den = 2.0 * (cg - v * ca)
+    den = jnp.where(jnp.abs(den) < 1e-9, jnp.sign(den) * 1e-9 + 1e-12, den)
+    u = ((qr - 1.0) * v * v - 2.0 * qr * cb * v + 1.0 + qr) / den
+
+    # Newton-polish (u, v) on the two distance-ratio equations
+    def g_and_J(u, v):
+        g1 = u * u + v * v - 2 * u * v * ca - A * (1 + v * v - 2 * v * cb)
+        g2 = 1 + u * u - 2 * u * cg - C * (1 + v * v - 2 * v * cb)
+        J11 = 2 * u - 2 * v * ca
+        J12 = 2 * v - 2 * u * ca - A * (2 * v - 2 * cb)
+        J21 = 2 * u - 2 * cg
+        J22 = -C * (2 * v - 2 * cb)
+        return g1, g2, J11, J12, J21, J22
+    for _ in range(3):
+        g1, g2, J11, J12, J21, J22 = g_and_J(u, v)
+        det = J11 * J22 - J12 * J21
+        det = jnp.where(jnp.abs(det) < 1e-9, 1e-9, det)
+        u = u - (J22 * g1 - J12 * g2) / det
+        v = v - (-J21 * g1 + J11 * g2) / det
+
+    s1 = jnp.sqrt(b2 / jnp.maximum(1 + v * v - 2 * v * cb, 1e-12))  # [4]
+    s2 = u * s1
+    s3 = v * s1
+    ok = v_ok & (s1 > 0) & (s2 > 0) & (s3 > 0)
+
+    def pose_of(s123):
+        C_pts = s123[:, None] * f                       # camera-frame points
+        Pm = jnp.mean(xyz3, axis=0)
+        Cm = jnp.mean(C_pts, axis=0)
+        M = (C_pts - Cm).T @ (xyz3 - Pm)
+        U, _, Vt = jnp.linalg.svd(M)
+        d = jnp.linalg.det(U @ Vt)
+        R = U @ jnp.diag(jnp.array([1.0, 1.0, 0.0], M.dtype)
+                         + jnp.array([0.0, 0.0, 1.0], M.dtype) * d) @ Vt
+        t = Cm - R @ Pm
+        return log_so3(R), t
+
+    rvs, tvs = jax.vmap(pose_of)(jnp.stack([s1, s2, s3], axis=1))
+    finite = jnp.all(jnp.isfinite(rvs), -1) & jnp.all(jnp.isfinite(tvs), -1)
+    ok = ok & finite
+    rvs = jnp.where(ok[:, None], jnp.nan_to_num(rvs), 0.0)
+    tvs = jnp.where(ok[:, None], jnp.nan_to_num(tvs), 0.0)
+    return rvs, tvs, ok
+
+
 def _pose_residual_jac(K, rvec, tvec, xyz, uv, w):
     """Masked residuals [N,2] and analytic pose-Jacobian blocks [N,2,6]
     under the local left-multiplicative parameterization

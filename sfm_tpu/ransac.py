@@ -16,7 +16,7 @@ import jax.numpy as jnp
 
 from .geometry.estimation import estimate_fundamental, estimate_homography
 from .geometry.epipolar import epiline_distance_sq, homography_transfer_error_sq
-from .geometry.pnp import pnp_dlt, refine_pose, reprojection_errors
+from .geometry.pnp import p3p, pnp_dlt, refine_pose, reprojection_errors
 
 
 def sample_masked(key: jnp.ndarray, valid: jnp.ndarray, n_hyp: int,
@@ -100,7 +100,8 @@ def ransac_pnp(key, K, xyz, uv, valid, *, n_hypotheses: int = 64,
                sample_size: int = 6, threshold: float = 7.0,
                refine_iters: int = 10, min_inliers: int = 5,
                prior_rvec=None, prior_tvec=None,
-               fast_path_ratio: float = 0.0) -> PnPResult:
+               fast_path_ratio: float = 0.0,
+               solver: str = "dlt") -> PnPResult:
     """PnP RANSAC (cv::solvePnPRansac(ITERATIVE, 20 it, 7 px, 0.99)).
 
     Hypotheses: ``n_hypotheses`` 6-point DLT poses + (optionally) the prior
@@ -125,16 +126,35 @@ def ransac_pnp(key, K, xyz, uv, valid, *, n_hypotheses: int = 64,
         return rv, tv, inl, jnp.sum(inl)
 
     def full_ransac(_):
-        samples = sample_masked(key, valid, n_hypotheses, sample_size)
+        eff_size = 3 if solver == "p3p" else sample_size
+        samples = sample_masked(key, valid, n_hypotheses, eff_size)
 
-        def one(idx):
-            w = jnp.zeros_like(valid, jnp.float32).at[idx].set(1.0) * valid
-            rv, tv = pnp_dlt(K, xyz, uv, w)
-            err = reprojection_errors(K, rv, tv, xyz, uv)
-            inl = (err < threshold) & valid
-            return rv, tv, jnp.sum(inl)
+        if solver == "p3p":
+            def one(idx):
+                # sample_masked guarantees distinct in-hypothesis indices;
+                # degenerate (collinear/invalid) samples yield ok=False
+                # candidates which score -1 inliers below
+                rvs4, tvs4, ok4 = p3p(K, xyz[idx], uv[idx])
+                err = jax.vmap(
+                    lambda rv, tv: reprojection_errors(K, rv, tv, xyz, uv)
+                )(rvs4, tvs4)
+                inl = (err < threshold) & valid[None, :]
+                n = jnp.where(ok4, jnp.sum(inl, axis=1), -1)
+                return rvs4, tvs4, n
 
-        rvs, tvs, counts = jax.vmap(one)(samples)
+            rvs, tvs, counts = jax.vmap(one)(samples)
+            rvs = rvs.reshape(-1, 3)
+            tvs = tvs.reshape(-1, 3)
+            counts = counts.reshape(-1)
+        else:
+            def one(idx):
+                w = jnp.zeros_like(valid, jnp.float32).at[idx].set(1.0) * valid
+                rv, tv = pnp_dlt(K, xyz, uv, w)
+                err = reprojection_errors(K, rv, tv, xyz, uv)
+                inl = (err < threshold) & valid
+                return rv, tv, jnp.sum(inl)
+
+            rvs, tvs, counts = jax.vmap(one)(samples)
         if prior_rvec is not None:
             err_p = reprojection_errors(K, prior_rvec, prior_tvec, xyz, uv)
             n_p = jnp.sum((err_p < threshold) & valid)

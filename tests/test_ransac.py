@@ -95,3 +95,35 @@ class TestRansacPnP:
                          valid, n_hypotheses=16)
         assert int(res.n_inliers) <= 3
         assert not bool(res.ok)
+
+
+class TestP3P:
+    def test_candidates_contain_true_pose(self, rng):
+        from sfm_tpu.geometry.pnp import p3p
+        s = random_scene(rng, n_points=3)
+        rvs, tvs, ok = p3p(jnp.asarray(s["K"]), jnp.asarray(s["X"]),
+                           jnp.asarray(s["uv1"]))
+        rvs, tvs, ok = np.asarray(rvs), np.asarray(tvs), np.asarray(ok)
+        errs = [np.linalg.norm(rvs[i] - s["rvec1"]) +
+                np.linalg.norm(tvs[i] - s["t1"])
+                for i in range(4) if ok[i]]
+        assert errs and min(errs) < 1e-2
+
+    def test_ransac_p3p_survives_heavy_contamination(self, rng):
+        # 60% outliers: 3-pt samples hit all-inlier with p=0.4^3=6.4%,
+        # 6-pt DLT with 0.4^6=0.4% — p3p recovers where dlt needs a much
+        # larger batch
+        s = random_scene(rng, n_points=150)
+        uv, out_idx = contaminate(rng, s["uv1"], 0.6)
+        res = ransac_pnp(jax.random.PRNGKey(7), jnp.asarray(s["K"]),
+                         jnp.asarray(s["X"]), jnp.asarray(uv),
+                         jnp.ones(150, bool), n_hypotheses=64, solver="p3p")
+        assert bool(res.ok)
+        np.testing.assert_allclose(np.asarray(res.rvec), s["rvec1"],
+                                   atol=5e-3)
+        np.testing.assert_allclose(np.asarray(res.tvec), s["t1"], atol=2e-2)
+        # a random outlier can land inside the 7 px gate by chance
+        inl = np.asarray(res.inliers)
+        assert inl[out_idx].sum() <= 3
+        clean = np.setdiff1d(np.arange(150), out_idx)
+        assert inl[clean].mean() > 0.9

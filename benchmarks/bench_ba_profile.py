@@ -148,6 +148,54 @@ def main(n_cams=1000, n_lms=100_000, obs_per_lm=6):
         return jax.lax.scan(body, jnp.float32(0), None, length=REPS)[1]
     timed("  gather z[cam_lm]", gather_c, z0)
 
+    def inv6_loop(u):
+        def body(c, _):
+            M = jnp.linalg.inv(u + c + 1e-6 * jnp.eye(6))
+            return jnp.sum(M) * 0, M[0, 0, 0]
+        return jax.lax.scan(body, jnp.float32(0), None, length=REPS)[1]
+    timed("precond inv6 [C,6,6]", inv6_loop, _damp(U, lam))
+
+    def vinv3_loop(v):
+        def body(c, _):
+            M = inv3_sym(_damp(v + c, lam))
+            return jnp.sum(M) * 0, M[0, 0, 0]
+        return jax.lax.scan(body, jnp.float32(0), None, length=REPS)[1]
+    timed("Vinv build [L,3,3]", vinv3_loop, V)
+
+    # one-hot MXU formulations (candidate production path)
+    E_idx = tables.lm_cam
+
+    def onehot_t(x0):
+        def body(c, _):
+            E = (E_idx[..., None] ==
+                 jnp.arange(n_cams, dtype=jnp.int32)).astype(jnp.float32)
+            t = jnp.einsum("lkab,lkc,ca->lb", W_l, E, x0 + c)
+            return jnp.sum(t) * 0, t[0, 0]
+        return jax.lax.scan(body, jnp.float32(0), None, length=REPS)[1]
+    timed("  onehot W_l^T x", onehot_t, g_cam)
+
+    def onehot_y(z):
+        def body(c, _):
+            E = (E_idx[..., None] ==
+                 jnp.arange(n_cams, dtype=jnp.int32)).astype(jnp.float32)
+            y = jnp.einsum("lkab,lb,lkc->ca", W_l, z + c, E)
+            return jnp.sum(y) * 0, y[0, 0]
+        return jax.lax.scan(body, jnp.float32(0), None, length=REPS)[1]
+    timed("  onehot W z scatter", onehot_y, z0)
+
+    def onehot_matvec(x0):
+        def body(c, _):
+            x = x0 + c
+            E = (E_idx[..., None] ==
+                 jnp.arange(n_cams, dtype=jnp.int32)).astype(jnp.float32)
+            Ux = jnp.einsum("cab,cb->ca", _damp(U, lam), x)
+            t = jnp.einsum("lkab,lkc,ca->lb", W_l, E, x)
+            z = jnp.einsum("lab,lb->la", Vinv, t)
+            y = jnp.einsum("lkab,lb,lkc->ca", W_l, z, E)
+            return jnp.sum(y) * 0, (Ux - y)[0, 0]
+        return jax.lax.scan(body, jnp.float32(0), None, length=REPS)[1]
+    timed("matvec (onehot full)", onehot_matvec, g_cam)
+
 
 if __name__ == "__main__":
     args = [int(a) for a in sys.argv[1:]]

@@ -82,6 +82,45 @@ def build_tables(obs: Observations, n_cams: int, n_lms: int,
                      jnp.asarray(cam_uv), jnp.asarray(cam_w))
 
 
+def _onehot_f32(idx, n):
+    """One-hot rows for index table ``idx`` (any shape) -> [..., n] f32.
+    XLA fuses the iota compare into the consuming matmul's operand read,
+    so this is an MXU-side gather/scatter: measured 2x faster than row
+    gathers of skinny [C, 6] operands at C<=~4k (benchmarks/
+    bench_gather_variants.py)."""
+    return (idx[..., None] == jnp.arange(n, dtype=jnp.int32)).astype(
+        jnp.float32)
+
+
+def make_coupling_ops(tables: ObsTables, n_cams: int, *,
+                      onehot_threshold: int = 4096):
+    """The two table-layout contractions of the implicit Schur complement:
+      wT_x(W_l, x):      t[l] = sum_k W_l[l,k]^T x[lm_cam[l,k]]   ([L,3])
+      w_z(W_l, W_c, z):  y[c] = sum_{l,k: lm_cam==c} W_l[l,k] z[l] ([C,6])
+    Returns (wT_x, w_z, needs_cam_major).  For small camera counts both
+    directions run as one-hot einsums on the MXU from the landmark-major
+    table alone (the camera-major W_c is never needed: needs_cam_major is
+    False and w_z ignores its W_c argument)."""
+    use_onehot = n_cams <= onehot_threshold
+
+    if use_onehot:
+        def wT_x(W_l, x):
+            E = _onehot_f32(tables.lm_cam, n_cams)
+            return jnp.einsum("lkab,lkc,ca->lb", W_l, E, x)
+
+        def w_z(W_l, W_c, z):
+            E = _onehot_f32(tables.lm_cam, n_cams)
+            return jnp.einsum("lkab,lb,lkc->ca", W_l, z, E)
+    else:
+        def wT_x(W_l, x):
+            return jnp.einsum("lkab,lka->lb", W_l, x[tables.lm_cam])
+
+        def w_z(W_l, W_c, z):
+            return jnp.einsum("cjab,cjb->ca", W_c, z[tables.cam_lm])
+
+    return wT_x, w_z, not use_onehot
+
+
 def _blocks_in_layout(K, R, tvec, xyz, cam_idx_t, lm_idx_t, uv_t, w_t,
                       cam_free_f, lm_free_f, huber_delta):
     """Residuals + masked Jacobian blocks for one table layout.
@@ -105,7 +144,8 @@ def run_large_ba(K, rvec, tvec, xyz, tables: ObsTables, *,
                  cam_free, lm_free, iterations: int = 15,
                  cg_iterations: int = 25, lam0: float = 1e-3,
                  lam_up: float = 4.0, lam_down: float = 2.0,
-                 huber_delta: float = 0.0, tol: float = 1e-4
+                 huber_delta: float = 0.0, tol: float = 1e-4,
+                 onehot_threshold: int = 4096
                  ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, BAStats]:
     """Implicit-Schur LM: outer damping loop, inner block-Jacobi PCG on the
     reduced camera system.  All reductions are table-axis sums."""
@@ -113,6 +153,8 @@ def run_large_ba(K, rvec, tvec, xyz, tables: ObsTables, *,
     L = xyz.shape[0]
     cam_free_f = cam_free.astype(jnp.float32)
     lm_free_f = lm_free.astype(jnp.float32)
+    wT_x, w_z, needs_cam_major = make_coupling_ops(
+        tables, C, onehot_threshold=onehot_threshold)
 
     def linearize(rvec, tvec, xyz):
         R = exp_so3(rvec)
@@ -129,7 +171,8 @@ def run_large_ba(K, rvec, tvec, xyz, tables: ObsTables, *,
         V = jnp.einsum("lkia,lkib->lab", B_l, B_l)           # [L,3,3]
         g_lm = -jnp.einsum("lkia,lki->la", B_l, rw_l)        # [L,3]
         W_l = jnp.einsum("lkia,lkib->lkab", A_l, B_l)        # [L,kmax,6,3]
-        W_c = jnp.einsum("cjia,cjib->cjab", A_c, B_c)        # [C,nmax,6,3]
+        W_c = jnp.einsum("cjia,cjib->cjab", A_c, B_c) \
+            if needs_cam_major else None                     # [C,nmax,6,3]
         cost = jnp.sum(jnp.sum(r_l * r_l, -1) * w_l)
         return (U, V, W_l, W_c, g_cam, g_lm), cost
 
@@ -140,17 +183,13 @@ def run_large_ba(K, rvec, tvec, xyz, tables: ObsTables, *,
 
         def matvec(x):
             Ux = jnp.einsum("cab,cb->ca", _damp(U, lam), x)
-            x_at = x[tables.lm_cam]
-            t = jnp.einsum("lkab,lka->lb", W_l, x_at)
+            t = wT_x(W_l, x)
             z = jnp.einsum("lab,lb->la", Vinv, t)
-            z_at = z[tables.cam_lm]
-            y = jnp.einsum("cjab,cjb->ca", W_c, z_at)
-            return Ux - y
+            return Ux - w_z(W_l, W_c, z)
 
         # rhs = g_cam - W V^-1 g_lm
         zg = jnp.einsum("lab,lb->la", Vinv, g_lm)
-        zg_at = zg[tables.cam_lm]
-        rhs = g_cam - jnp.einsum("cjab,cjb->ca", W_c, zg_at)
+        rhs = g_cam - w_z(W_l, W_c, zg)
 
         # block-Jacobi preconditioner: damped U block inverses
         Ud = _damp(U, lam)
@@ -181,8 +220,7 @@ def run_large_ba(K, rvec, tvec, xyz, tables: ObsTables, *,
         d_cam = d_cam * cam_free_f[:, None]
 
         # back-substitution: d_lm = Vinv (g_lm - W^T d_cam)
-        dc_at = d_cam[tables.lm_cam]
-        t = jnp.einsum("lkab,lka->lb", W_l, dc_at)
+        t = wT_x(W_l, d_cam)
         d_lm = jnp.einsum("lab,lb->la", Vinv, g_lm - t) * lm_free_f[:, None]
 
         rv_new, tv_new = jax.vmap(apply_pose_update)(

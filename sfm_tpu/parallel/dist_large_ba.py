@@ -25,7 +25,8 @@ from jax import shard_map
 
 from ..ba.residuals import Observations, apply_pose_update
 from ..ba.core import BAStats, inv3_sym, _damp
-from ..ba.large import ObsTables, build_tables, _blocks_in_layout
+from ..ba.large import ObsTables, build_tables, _blocks_in_layout, \
+    make_coupling_ops
 from ..geometry.rotations import exp_so3
 
 
@@ -55,7 +56,7 @@ def build_dist_large_ba(mesh: Mesh, axis: str, n_cams: int, shard_size: int,
                         *, iterations: int = 10, cg_iterations: int = 25,
                         lam0: float = 1e-3, lam_up: float = 4.0,
                         lam_down: float = 2.0, huber_delta: float = 0.0,
-                        tol: float = 0.0):
+                        tol: float = 0.0, onehot_threshold: int = 4096):
     """Jitted landmark-sharded implicit-Schur LM solve.
 
     fn(K, rvec, tvec, xyz_sharded [L,3], tables (leading shard axis),
@@ -66,6 +67,8 @@ def build_dist_large_ba(mesh: Mesh, axis: str, n_cams: int, shard_size: int,
         cam_free_f = cam_free.astype(jnp.float32)
         lm_free_f = lm_free_l.astype(jnp.float32)
         L_l = xyz_l.shape[0]
+        wT_x, w_z, needs_cam_major = make_coupling_ops(
+            tables_l, n_cams, onehot_threshold=onehot_threshold)
 
         def linearize(rvec, tvec, xyz_l):
             R = exp_so3(rvec)
@@ -91,7 +94,8 @@ def build_dist_large_ba(mesh: Mesh, axis: str, n_cams: int, shard_size: int,
             V = jnp.einsum("lkia,lkib->lab", B_l, B_l)
             g_lm = -jnp.einsum("lkia,lki->la", B_l, rw_l)
             W_l_ = jnp.einsum("lkia,lkib->lkab", A_l, B_l)
-            W_c_ = jnp.einsum("cjia,cjib->cjab", A_c, B_c)
+            W_c_ = jnp.einsum("cjia,cjib->cjab", A_c, B_c) \
+                if needs_cam_major else None
             return (U, V, W_l_, W_c_, g_cam, g_lm), cost
 
         blocks0, cost0 = linearize(rvec, tvec, xyz_l)
@@ -104,20 +108,15 @@ def build_dist_large_ba(mesh: Mesh, axis: str, n_cams: int, shard_size: int,
 
             def matvec(x):
                 Ux = jnp.einsum("cab,cb->ca", Ud, x)
-                x_at = x[tables_l.lm_cam]
-                t = jnp.einsum("lkab,lka->lb", W_l, x_at)
+                t = wT_x(W_l, x)
                 z = jnp.einsum("lab,lb->la", Vinv, t)
-                z_at = z[tables_l.cam_lm]
-                y_p = jnp.einsum("cjab,cjb->ca", W_c, z_at)
                 # the Schur term sums over ALL landmarks -> psum the
                 # shard-partial per-camera contribution ([C, 6] over ICI)
-                y = jax.lax.psum(y_p, axis)
+                y = jax.lax.psum(w_z(W_l, W_c, z), axis)
                 return Ux - y
 
             zg = jnp.einsum("lab,lb->la", Vinv, g_lm)
-            zg_at = zg[tables_l.cam_lm]
-            rhs = g_cam - jax.lax.psum(
-                jnp.einsum("cjab,cjb->ca", W_c, zg_at), axis)
+            rhs = g_cam - jax.lax.psum(w_z(W_l, W_c, zg), axis)
 
             M_inv = jnp.linalg.inv(Ud + 1e-6 * jnp.eye(6))
 
@@ -143,8 +142,7 @@ def build_dist_large_ba(mesh: Mesh, axis: str, n_cams: int, shard_size: int,
                 0, cg_iterations, cg_body, (x0, r0, z0, z0))
             d_cam = d_cam * cam_free_f[:, None]
 
-            dc_at = d_cam[tables_l.lm_cam]
-            t = jnp.einsum("lkab,lka->lb", W_l, dc_at)
+            t = wT_x(W_l, d_cam)
             d_lm = jnp.einsum("lab,lb->la", Vinv, g_lm - t) * \
                 lm_free_f[:, None]
 

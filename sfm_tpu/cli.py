@@ -36,7 +36,8 @@ def cmd_scan(args) -> int:
                     max_keyframes=args.max_keyframes,
                     max_landmarks=args.max_landmarks,
                     pnp_solver=args.pnp_solver,
-                    feature_dtype=args.feature_dtype)
+                    feature_dtype=args.feature_dtype,
+                    track_with_flow=args.flow)
     K = np.array([[args.fx, 0, args.cx], [0, args.fy, args.cy], [0, 0, 1]],
                  np.float32)
     eng = SfMEngine(K, (h, w), args.dist, cfg)
@@ -199,6 +200,9 @@ def main(argv=None) -> int:
                     help="resume engine state npz before scanning")
     ps.add_argument("--metrics", default=None,
                     help="write per-frame metrics JSONL")
+    ps.add_argument("--flow", action="store_true",
+                    help="flow-assisted tracking: LK-track features whose "
+                         "descriptor match failed (blur/low-texture recall)")
     ps.add_argument("--guidance", action="store_true",
                     help="run scan-guidance segmentation on color frames")
     ps.add_argument("--video", default=None,

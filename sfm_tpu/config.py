@@ -70,6 +70,18 @@ class SfMConfig:
                                        # widened track set (0 disables)
     max_lost_frames: int = 10          # frames below min matches before LOST
 
+    # ---- flow-assisted tracking (the reference's disabled alternative
+    # path: CTracker::computeOpticalFlow, CSfM.cpp:824).  When on, prev
+    # frame map-linked features whose descriptor match failed are tracked
+    # into the current frame with pyramidal LK and associated to the
+    # nearest current detection — a recall boost for blur/low-texture
+    # frames at the cost of running LK every frame. ----
+    track_with_flow: bool = False
+    flow_levels: int = 3               # LK pyramid levels (cv default 3)
+    flow_iters: int = 10               # LK iterations per level
+    flow_assoc_dist: float = 2.0       # flow-endpoint -> detection gate, px
+                                       # (ref _maxOrgFeatDist=1, CTracker.cpp:33)
+
     # ---- keyframe policy (ref: CSfM.cpp:44, 481-498) ----
     keyframe_time_lag: int = 10        # min frames between keyframes
     keyframe_min_tracked: int = 50     # min tracked points to insert

@@ -50,6 +50,9 @@ class SfMState(NamedTuple):
                                    # mapping pass; refreshed at its end)
     pending_map_slot: jnp.ndarray  # deferred-mapping mode: keyframe slot
                                    # awaiting a mapping pass (-1 = none)
+    prev_image: jnp.ndarray        # [H, W] grey image of ``prev`` when
+                                   # cfg.track_with_flow (else [1, 1] dummy);
+                                   # LK tracks from it into the current frame
 
 
 class StepMetrics(NamedTuple):
@@ -93,6 +96,8 @@ def init_state(cfg: SfMConfig) -> SfMState:
         key=jax.random.PRNGKey(0),
         rep_desc=jnp.zeros((cfg.max_landmarks, cfg.desc_words), jnp.uint32),
         pending_map_slot=jnp.asarray(-1, jnp.int32),
+        prev_image=jnp.zeros(cfg.image_size if cfg.track_with_flow else (1, 1),
+                             jnp.float32),
     )
 
 

@@ -63,11 +63,19 @@ def build_step(cfg: SfMConfig, cam: CameraParams, defer_mapping: bool = False,
         branches = [
             noop if fleet_tracking_only else
             (lambda st: bootstrap_step(cfg, cam, st, frame)),
-            lambda st: tracking_step(cfg, cam, st, frame, mapping_fn),
+            lambda st: tracking_step(cfg, cam, st, frame, mapping_fn,
+                                     image=image),
             noop if fleet_tracking_only else
             (lambda st: reloc_step(cfg, cam, st, frame)),
         ]
         state, metrics = jax.lax.switch(state.status, branches, state)
+        if cfg.track_with_flow:
+            # keep prev_image in lockstep with the reference frame: the
+            # branch adopted this frame as ``prev`` iff the frame numbers
+            # match (bootstrap ref advance, tracking swap, reloc recovery)
+            took = state.prev.frame_no == frame.frame_no
+            state = state._replace(
+                prev_image=jnp.where(took, image, state.prev_image))
         state = state._replace(frame_count=state.frame_count + 1)
         return state, metrics
 

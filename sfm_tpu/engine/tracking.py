@@ -63,9 +63,10 @@ def widen_tracks(cfg: SfMConfig, cam: CameraParams, lms, curr, rep):
 
 
 def tracking_step(cfg: SfMConfig, cam: CameraParams, state: SfMState,
-                  frame, mapping_fn) -> tuple:
+                  frame, mapping_fn, image=None) -> tuple:
     """One RUNNING-state step.  ``mapping_fn(state, new_kf_slot) -> state``
-    is invoked (via lax.cond) when a keyframe is inserted."""
+    is invoked (via lax.cond) when a keyframe is inserted.  ``image`` is the
+    raw grey frame, used only when cfg.track_with_flow."""
     prev, curr = state.prev, frame
     key, k_pnp = jax.random.split(state.key)
 
@@ -76,6 +77,24 @@ def tracking_step(cfg: SfMConfig, cam: CameraParams, state: SfMState,
         curr.desc, curr.xy, curr.kp_valid,
         min_radius=cfg.match_min_radius, max_radius=cfg.match_max_radius,
         max_distance=cfg.match_max_distance, ratio=cfg.match_ratio)
+    if cfg.track_with_flow and image is not None:
+        # flow-assisted recall (the reference's disabled LK path,
+        # CTracker.cpp:480-562): LK-track map-linked features whose
+        # descriptor match failed and associate the endpoints to still
+        # unmatched detections.  Runs in distorted pixel space like the
+        # reference (findClosestPointIndexDistorted, CTracker.cpp:521).
+        from ..features.flow import lk_flow, associate_flow_to_features
+        flow = lk_flow(state.prev_image, image, prev.xy_dist, src_valid,
+                       levels=cfg.flow_levels, iters=cfg.flow_iters)
+        fidx, fok = associate_flow_to_features(
+            flow.xy, flow.valid, curr.xy_dist, curr.kp_valid,
+            max_dist=cfg.flow_assoc_dist)
+        M = curr.xy.shape[0]
+        taken = jnp.zeros((M,), bool).at[
+            jnp.where(res.mask, res.idx, M)].set(True, mode="drop")
+        use_flow = fok & ~res.mask & ~taken[jnp.where(fok, fidx, 0)]
+        res = res._replace(idx=jnp.where(use_flow, fidx, res.idx),
+                           mask=res.mask | use_flow)
     n_matches = jnp.sum(res.mask)
 
     def lost_branch(_):

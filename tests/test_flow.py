@@ -67,3 +67,32 @@ class TestAssociation:
         assert ok.sum() == 1
         assert idx[0] == 0 or idx[1] == 0
         assert not ok[2]  # 3 px away > 1 px gate
+
+
+class TestFlowAssistedTracking:
+    """Engine integration: cfg.track_with_flow wires LK into tracking
+    (the reference's disabled alternative path, CSfM.cpp:824)."""
+
+    def test_scan_with_flow_stays_running(self):
+        from sfm_tpu.config import SfMConfig
+        from sfm_tpu.engine import SfMEngine, RUNNING
+        from render import SpriteScene, strafe_trajectory
+
+        cfg = SfMConfig(
+            max_keypoints=192, max_keyframes=8, max_landmarks=1024,
+            image_height=240, image_width=320, pyramid_levels=3,
+            ransac_hypotheses=64, pnp_hypotheses=32, ba_iterations=6,
+            keyframe_min_tracked=15, keyframe_time_lag=6,
+            min_init_matches=25, track_with_flow=True)
+        K = np.array([[250., 0, 160], [0, 250., 120], [0, 0, 1]], np.float32)
+        rng = np.random.default_rng(3)
+        scene = SpriteScene(rng)
+        rvecs, tvecs = strafe_trajectory(14)
+        eng = SfMEngine(K, (240, 320), None, cfg)
+        metrics = [eng.add_frame(scene.render(K, rvecs[i], tvecs[i], 240, 320))
+                   for i in range(14)]
+        assert eng.status == RUNNING
+        assert int(metrics[-1]["n_tracked"]) >= 15
+        # prev_image tracks the reference frame (step.py invariant)
+        assert np.asarray(eng.state.prev_image).shape == (240, 320)
+        assert np.asarray(eng.state.prev_image).std() > 1.0

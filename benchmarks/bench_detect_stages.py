@@ -55,7 +55,10 @@ def main():
         def fn(x):
             def b(c, _):
                 out = body(x + c)
-                return (jnp.sum(out).astype(jnp.float32) * 0), out.reshape(-1)[0]
+                # *0 constant-folds and the body hoists; *1e-30 is ~0 but
+                # not provably 0, so the dependence chain survives
+                salt = (jnp.sum(out).astype(jnp.float32) * 1e-30)
+                return salt.astype(x.dtype), out.reshape(-1)[0]
             return jax.lax.scan(b, jnp.asarray(0, x.dtype), None,
                                 length=REPS)[1]
         return fn

@@ -34,6 +34,10 @@ class SfMConfig:
                                     # ("bfloat16" halves the memory-bound
                                     # detection cost; geometry stays f32)
     nms_radius: int = 2            # non-max suppression radius (pixels)
+    detector_approx_topk: bool = False  # TPU PartialReduce top-k (~10x
+                                        # faster than the exact sort
+                                        # lowering; >=95% recall on the
+                                        # weakest corners)
 
     # ---- matcher (ref: CTracker.cpp:27-40) ----
     match_ratio: float = 0.8           # Lowe ratio test

@@ -112,7 +112,8 @@ def make_frame(cfg: SfMConfig, cam: CameraParams, image: jnp.ndarray,
                          levels=cfg.pyramid_levels,
                          threshold=cfg.fast_threshold,
                          nms_radius=cfg.nms_radius,
-                         compute_dtype=compute_dtype, return_canvas=True)
+                         compute_dtype=compute_dtype, return_canvas=True,
+                         approx_topk=cfg.detector_approx_topk)
     desc = describe_canvas(canvas, kps, cfg.pyramid_levels,
                            cfg.image_width, cfg.desc_bits,
                            compute_dtype=compute_dtype)

@@ -34,6 +34,31 @@ class Keypoints(NamedTuple):
     valid: jnp.ndarray   # [N] bool
 
 
+def _avg2_matrix(n: int, dtype) -> jnp.ndarray:
+    """[n//2, n] matrix averaging adjacent element pairs.  Constant, folded
+    by XLA; the downsample then runs as two small MXU matmuls — stride-2
+    slicing lowers to gathers on TPU and measures ~50x slower (0.8 ms per
+    quadrant term at 480x640, see docs/BENCH_NOTES.md)."""
+    m = np.zeros((n // 2, n), np.float32)
+    idx = np.arange(n // 2)
+    m[idx, 2 * idx] = 0.5
+    m[idx, 2 * idx + 1] = 0.5
+    return jnp.asarray(m, dtype)
+
+
+def _down2(cur: jnp.ndarray) -> jnp.ndarray:
+    """2x2 box downsample via MXU: A @ cur @ B with averaging matrices.
+    precision='highest' keeps the means exact in f32 (the default MXU
+    passes round through bf16, which perturbs detector scores); the
+    matmuls are ~100 MFLOP, far below a noticeable cost either way."""
+    h, w = cur.shape
+    A = _avg2_matrix(h, cur.dtype)
+    B = _avg2_matrix(w, cur.dtype).T
+    return jnp.dot(jnp.dot(A, cur[:h // 2 * 2, :w // 2 * 2],
+                           precision="highest"), B,
+                   preferred_element_type=cur.dtype, precision="highest")
+
+
 def build_pyramid(img: jnp.ndarray, levels: int) -> jnp.ndarray:
     """Grey image [H, W] float32 -> [levels, H, W] pyramid; level l is the
     2^l-downsampled image stored in the top-left corner (zero padding keeps
@@ -42,9 +67,7 @@ def build_pyramid(img: jnp.ndarray, levels: int) -> jnp.ndarray:
     out = [img]
     cur = img
     for _ in range(levels - 1):
-        h, w = cur.shape
-        cur = 0.25 * (cur[0:h - 1:2, 0:w - 1:2] + cur[1:h:2, 0:w - 1:2]
-                      + cur[0:h - 1:2, 1:w:2] + cur[1:h:2, 1:w:2])
+        cur = _down2(cur)
         pad = jnp.zeros((H, W), img.dtype).at[:cur.shape[0], :cur.shape[1]].set(cur)
         out.append(pad)
     return jnp.stack(out)
@@ -179,11 +202,7 @@ def build_canvas(img: jnp.ndarray, levels: int,
     cols = [img]
     cur = img
     for _ in range(levels - 1):
-        h, w = cur.shape
-        cur = cur[:h // 2 * 2, :w // 2 * 2]
-        h, w = cur.shape
-        cur = 0.25 * (cur[0:h:2, 0:w:2] + cur[1:h:2, 0:w:2]
-                      + cur[0:h:2, 1:w:2] + cur[1:h:2, 1:w:2])
+        cur = _down2(cur)
         cols.append(jnp.pad(cur, ((0, H - cur.shape[0]), (0, 0))))
     return jnp.concatenate(cols, axis=1)
 
@@ -191,7 +210,7 @@ def build_canvas(img: jnp.ndarray, levels: int,
 def detect(img: jnp.ndarray, *, max_keypoints: int, levels: int = 4,
            threshold: float = 20.0, nms_radius: int = 2,
            border: int = 20, compute_dtype=None,
-           return_canvas: bool = False):
+           return_canvas: bool = False, approx_topk: bool = False):
     """Full detection pipeline: pyramid canvas -> FAST score -> NMS ->
     global top-K -> subpixel refinement.
 
@@ -216,7 +235,15 @@ def detect(img: jnp.ndarray, *, max_keypoints: int, levels: int = 4,
     bias = jnp.asarray(
         1e-3 * (levels - 1 - lay.lvl_of_col)[None, :].astype(np.float32))
     s = jnp.where(s > 0, s + bias, 0.0)
-    top_vals, idx = jax.lax.top_k(s.reshape(-1), K)
+    if approx_topk:
+        # exact top_k lowers to a full stable sort of H*WC scores (~0.9 ms
+        # at 480x640x4 levels); the TPU PartialReduce custom call is ~10x
+        # faster at >=95% recall — the misses are among the weakest corners
+        top_vals, idx = jax.lax.approx_max_k(
+            s.reshape(-1), K, recall_target=0.95)
+        idx = idx.astype(jnp.int32)
+    else:
+        top_vals, idx = jax.lax.top_k(s.reshape(-1), K)
     yi = idx // WC
     xc = idx % WC
     sel_lvl = jnp.asarray(lay.lvl_of_col)[xc]

@@ -82,6 +82,21 @@ class TestDetector:
         kps = detect(img, max_keypoints=128, levels=2)
         assert int(jnp.sum(kps.valid)) == 0
 
+    def test_approx_topk_matches_exact_selection(self, rng):
+        # approx_topk uses the TPU PartialReduce lowering; selection must
+        # heavily overlap the exact sort (misses only among weak corners)
+        img = jnp.asarray(random_texture(rng))
+        exact = detect(img, max_keypoints=256, levels=3)
+        approx = detect(img, max_keypoints=256, levels=3, approx_topk=True)
+        ex = {tuple(p) for p in
+              np.asarray(exact.xy)[np.asarray(exact.valid)].round(2).tolist()}
+        ap = {tuple(p) for p in
+              np.asarray(approx.xy)[np.asarray(approx.valid)].round(2).tolist()}
+        n = max(len(ex), 1)
+        assert len(ex & ap) / n > 0.9
+        s = np.asarray(approx.score)[np.asarray(approx.valid)]
+        assert (s > 0).all()
+
 
 class TestDescriptor:
     def test_descriptor_stable_under_shift(self, rng):

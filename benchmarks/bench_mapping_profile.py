@@ -33,7 +33,26 @@ from sfm_tpu.synthetic import SpriteScene, strafe_trajectory
 REPS = 10
 
 
+def _hlo_source_map(fn, *args):
+    """fusion/op name -> 'file:line (op_name)' from the compiled HLO."""
+    import re
+    txt = jax.jit(fn).lower(*args).compile().as_text()
+    src = {}
+    for m in re.finditer(
+            r"^\s*%?([\w.\-]+) = .*?metadata=\{(.*?)\}", txt, re.M):
+        name, meta = m.group(1), m.group(2)
+        f = re.search(r'source_file="([^"]+)"', meta)
+        ln = re.search(r"source_line=(\d+)", meta)
+        op = re.search(r'op_name="([^"]+)"', meta)
+        if f:
+            src[name] = (f"{f.group(1).split('/')[-1]}:"
+                         f"{ln.group(1) if ln else '?'} "
+                         f"{(op.group(1) if op else '')[-60:]}")
+    return src
+
+
 def trace_and_report(tag, fn, *args):
+    src = _hlo_source_map(fn, *args)
     out = jax.block_until_ready(fn(*args))  # compile
     logdir = f"/tmp/mapprof_{tag}"
     with jax.profiler.trace(logdir):
@@ -56,13 +75,11 @@ def trace_and_report(tag, fn, *args):
             if e["name"] not in args_of and a:
                 args_of[e["name"]] = str(a)[:160]
     print(f"--- {tag}: top device ops (ms/call over {REPS} reps) ---")
-    grand = 0.0
-    for name, d in sorted(tot.items(), key=lambda kv: -kv[1])[:18]:
+    for name, d in sorted(tot.items(), key=lambda kv: -kv[1])[:25]:
         if name.startswith("jit_") or name.startswith("while"):
             continue
-        grand += d
-        print(f"{d / 1000 / REPS:9.3f} ms x{cnt[name] // REPS:4d}  {name[:60]}"
-              f"  {args_of.get(name, '')[:100]}")
+        print(f"{d / 1000 / REPS:9.3f} ms x{cnt[name] // REPS:4d}  "
+              f"{name[:40]:40s}  {src.get(name, '')[:110]}")
     return out
 
 

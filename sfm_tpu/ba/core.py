@@ -209,6 +209,169 @@ def run_ba(K, rvec, tvec, xyz, obs: Observations, *,
     return rvec, tvec, xyz, BAStats(cost0, cost, lam, accepted)
 
 
+def _onehot_matmul_T(idx, n, vals):
+    """Scatter-free segment-sum: out[i] = sum_{o: idx[o]==i} vals[o].
+    idx [O] int32, vals [O, d] -> [n, d].  The one-hot operand is a fused
+    iota-compare feeding the MXU — scatter-adds into [n, d] serialize on
+    TPU while this runs at matmul speed (same trick as ba/large.py's
+    coupling ops)."""
+    E = (idx[:, None] == jnp.arange(n, dtype=jnp.int32)).astype(jnp.float32)
+    return jax.lax.dot_general(
+        E, vals, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+def _onehot_gather(idx, n, table):
+    """Gather rows: out[o] = table[idx[o]].  table [n, d] -> [O, d]."""
+    E = (idx[:, None] == jnp.arange(n, dtype=jnp.int32)).astype(jnp.float32)
+    return jax.lax.dot_general(
+        E, table, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+def _assemble_cg(K, rvec, tvec, xyz, obs: Observations, cam_free, lm_free,
+                 huber_delta: float):
+    """Normal-equation blocks WITHOUT materializing the [C, L] coupling:
+    U [C,6,6], V [L,3,3], per-observation W_o [O,6,3], g_cam, g_lm, cost.
+    All index-space reductions are one-hot MXU matmuls (scatter-free)."""
+    C = rvec.shape[0]
+    L = xyz.shape[0]
+    R = exp_so3(rvec)
+    r, A, B = residuals_and_jacobians(K, R, tvec, xyz, obs)
+    w = obs.w * huber_weights(r, huber_delta)
+    A = A * (w * cam_free[obs.cam_idx])[:, None, None]
+    B = B * (w * lm_free[obs.lm_idx])[:, None, None]
+    rw = r * w[:, None]
+
+    AtA = jnp.einsum("oia,oib->oab", A, A).reshape(-1, 36)
+    BtB = jnp.einsum("oia,oib->oab", B, B).reshape(-1, 9)
+    W_o = jnp.einsum("oia,oib->oab", A, B)          # [O,6,3]
+    Atr = jnp.einsum("oia,oi->oa", A, rw)
+    Btr = jnp.einsum("oia,oi->oa", B, rw)
+
+    U = _onehot_matmul_T(obs.cam_idx, C, AtA).reshape(C, 6, 6)
+    g_cam = -_onehot_matmul_T(obs.cam_idx, C, Atr)
+    V = _onehot_matmul_T(obs.lm_idx, L, BtB).reshape(L, 3, 3)
+    g_lm = -_onehot_matmul_T(obs.lm_idx, L, Btr)
+
+    sq = jnp.sum(r * r, axis=-1)
+    if huber_delta > 0:
+        d = huber_delta
+        nrm = jnp.sqrt(sq + 1e-12)
+        rho = jnp.where(nrm <= d, sq, 2 * d * nrm - d * d)
+        cost = jnp.sum(rho * obs.w)
+    else:
+        cost = jnp.sum(sq * obs.w)
+    return (U, V, W_o, g_cam, g_lm), cost
+
+
+def run_ba_cg(K, rvec, tvec, xyz, obs: Observations, *,
+              cam_free, lm_free, iterations: int = 20,
+              cg_iterations: int = 15, lam0: float = 1e-3,
+              lam_up: float = 4.0, lam_down: float = 2.0,
+              huber_delta: float = 0.0, tol: float = 1e-4
+              ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, BAStats]:
+    """STRUCT_AND_POSE LM with the reduced camera system solved by
+    block-Jacobi PCG through per-observation tables — no [C, L] coupling
+    tensor, no scatters.  Same contract as run_ba(mode=STRUCT_AND_POSE).
+
+    Crossover note (measured on TPU v5-lite): at flagship mapping shapes
+    (C=32, L=8k, O=16k) the one-hot segment ops pad their 3-wide payloads
+    to the 128-lane MXU tile, so 15 CG iterations cost MORE than run_ba's
+    exact dense solve (~12 vs ~7 ms/LM-iter) — prefer run_ba there.  This
+    path wins when the dense [6C, 6C] Schur complement or the [C, L]
+    coupling no longer fits: C >~ 128 with large maps (and see
+    ba/large.py + parallel/dist_large_ba.py for the 1k-camera/pod-scale
+    dual-table formulation)."""
+    C = rvec.shape[0]
+    L = xyz.shape[0]
+    cam_free_f = cam_free.astype(jnp.float32)
+    lm_free_f = lm_free.astype(jnp.float32)
+    cam_idx, lm_idx = obs.cam_idx, obs.lm_idx
+
+    blocks, cost0 = _assemble_cg(K, rvec, tvec, xyz, obs, cam_free_f,
+                                 lm_free_f, huber_delta)
+
+    def real_body(carry):
+        rvec, tvec, xyz, blocks, lam, cost, accepted, done = carry
+        U, V, W_o, g_cam, g_lm = blocks
+        Ud = _damp(U, lam)
+        Vinv = inv3_sym(_damp(V, lam))
+
+        def wT_x(x):
+            # t[l] = sum_{o: lm=l} W_o^T x[cam_o]
+            x_at = _onehot_gather(cam_idx, C, x)           # [O,6]
+            q = jnp.einsum("oab,oa->ob", W_o, x_at)        # [O,3]
+            return _onehot_matmul_T(lm_idx, L, q)          # [L,3]
+
+        def w_z(z):
+            # y[c] = sum_{o: cam=c} W_o z[lm_o]
+            z_at = _onehot_gather(lm_idx, L, z)            # [O,3]
+            p = jnp.einsum("oab,ob->oa", W_o, z_at)        # [O,6]
+            return _onehot_matmul_T(cam_idx, C, p)         # [C,6]
+
+        def matvec(x):
+            Ux = jnp.einsum("cab,cb->ca", Ud, x)
+            z = jnp.einsum("lab,lb->la", Vinv, wT_x(x))
+            return Ux - w_z(z)
+
+        zg = jnp.einsum("lab,lb->la", Vinv, g_lm)
+        rhs = g_cam - w_z(zg)
+        M_inv = jnp.linalg.inv(Ud + 1e-6 * jnp.eye(6))
+
+        def precond(v):
+            return jnp.einsum("cab,cb->ca", M_inv, v)
+
+        x0 = jnp.zeros_like(rhs)
+        r0 = rhs - matvec(x0)
+        z0 = precond(r0)
+
+        def cg_body(_, cg):
+            x, r, z, p = cg
+            Ap = matvec(p)
+            rz = jnp.sum(r * z)
+            alpha = rz / jnp.maximum(jnp.sum(p * Ap), 1e-12)
+            x = x + alpha * p
+            r_new = r - alpha * Ap
+            z_new = precond(r_new)
+            beta = jnp.sum(r_new * z_new) / jnp.maximum(rz, 1e-12)
+            return x, r_new, z_new, z_new + beta * p
+
+        d_cam, _, _, _ = jax.lax.fori_loop(
+            0, cg_iterations, cg_body, (x0, r0, z0, z0))
+        d_cam = d_cam * cam_free_f[:, None]
+        d_lm = jnp.einsum("lab,lb->la", Vinv, g_lm - wT_x(d_cam)) * \
+            lm_free_f[:, None]
+
+        rv_new, tv_new = jax.vmap(apply_pose_update)(
+            rvec, tvec, d_cam[:, :3], d_cam[:, 3:])
+        xyz_new = xyz + d_lm
+        blocks_new, new_cost = _assemble_cg(
+            K, rv_new, tv_new, xyz_new, obs, cam_free_f, lm_free_f,
+            huber_delta)
+        ok = (new_cost < cost) & jnp.isfinite(new_cost)
+        rvec = jnp.where(ok, rv_new, rvec)
+        tvec = jnp.where(ok, tv_new, tvec)
+        xyz = jnp.where(ok, xyz_new, xyz)
+        blocks = jax.tree.map(lambda n, o: jnp.where(ok, n, o),
+                              blocks_new, blocks)
+        lam = jnp.where(ok, jnp.maximum(lam / lam_down, 1e-9),
+                        jnp.minimum(lam * lam_up, 1e6))
+        done = done | (ok & (cost - new_cost < tol * jnp.maximum(cost, 1.0)))
+        cost = jnp.where(ok, new_cost, cost)
+        return (rvec, tvec, xyz, blocks, lam, cost,
+                accepted + ok.astype(jnp.int32), done)
+
+    def body(_, carry):
+        return jax.lax.cond(carry[-1], lambda c: c, real_body, carry)
+
+    rvec, tvec, xyz, blocks, lam, cost, accepted, done = jax.lax.fori_loop(
+        0, iterations, body,
+        (rvec, tvec, xyz, blocks, jnp.asarray(lam0, jnp.float32), cost0,
+         jnp.asarray(0, jnp.int32), jnp.asarray(False)))
+    return rvec, tvec, xyz, BAStats(cost0, cost, lam, accepted)
+
+
 def observations_from_keyframes(kfs, lm_valid) -> Observations:
     """Flatten the keyframe link matrix into the COO observation list
     (the CSfM::bundleAdjustment gather, CSfM.cpp:326-340)."""

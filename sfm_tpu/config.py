@@ -120,6 +120,13 @@ class SfMConfig:
     ba_lambda_down: float = 2.0
     ba_huber_delta: float = 0.0        # 0 disables robust loss (ref uses NULL loss)
     ba_tol: float = 3e-4               # relative cost-decrease early-exit
+    # mapping-BA solver for the reduced camera system: "dense" forms the
+    # [6C, 6C] Schur complement exactly (run_ba; fastest up to ~64 KFs);
+    # "cg" solves it with block-Jacobi PCG through per-observation tables
+    # without the [C, L] coupling tensor (run_ba_cg; for large keyframe
+    # capacities where the dense complement no longer fits)
+    ba_solver: str = "dense"
+    ba_cg_iterations: int = 15         # PCG iterations per LM step ("cg")
     # local BA: free only the most recent N keyframe poses during the
     # mapping-pass BA (0 = all free, the reference's behavior — its "local"
     # BA optimizes every keyframe, CSfM.cpp:250-259).  Structure stays free

@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import SfMConfig
-from ..ba import BAMode, observations_from_keyframes, run_ba
+from ..ba import BAMode, observations_from_keyframes, run_ba, run_ba_cg
 from ..features.match import match_features
 from ..features.match_pallas import match_features_pallas
 from ..geometry.camera import project, depths
@@ -215,13 +215,23 @@ def mapping_pass(cfg: SfMConfig, cam: CameraParams, state: SfMState,
             jnp.where(recent_ok, recent, cfg.max_keyframes)].set(
                 True, mode="drop")
         cam_free = cam_free & in_window
-    rv, tv, xyz, stats = run_ba(
-        cam.Kopt, kfs.frames.rvec, kfs.frames.tvec, lms.xyz, obs,
-        cam_free=cam_free, lm_free=lms.valid,
-        mode=BAMode.STRUCT_AND_POSE, iterations=cfg.ba_iterations,
-        lam0=cfg.ba_lambda_init, lam_up=cfg.ba_lambda_up,
-        lam_down=cfg.ba_lambda_down, huber_delta=cfg.ba_huber_delta,
-        tol=cfg.ba_tol)
+    if cfg.ba_solver == "cg":
+        rv, tv, xyz, stats = run_ba_cg(
+            cam.Kopt, kfs.frames.rvec, kfs.frames.tvec, lms.xyz, obs,
+            cam_free=cam_free, lm_free=lms.valid,
+            iterations=cfg.ba_iterations,
+            cg_iterations=cfg.ba_cg_iterations,
+            lam0=cfg.ba_lambda_init, lam_up=cfg.ba_lambda_up,
+            lam_down=cfg.ba_lambda_down, huber_delta=cfg.ba_huber_delta,
+            tol=cfg.ba_tol)
+    else:
+        rv, tv, xyz, stats = run_ba(
+            cam.Kopt, kfs.frames.rvec, kfs.frames.tvec, lms.xyz, obs,
+            cam_free=cam_free, lm_free=lms.valid,
+            mode=BAMode.STRUCT_AND_POSE, iterations=cfg.ba_iterations,
+            lam0=cfg.ba_lambda_init, lam_up=cfg.ba_lambda_up,
+            lam_down=cfg.ba_lambda_down, huber_delta=cfg.ba_huber_delta,
+            tol=cfg.ba_tol)
     kfs = kfs._replace(frames=kfs.frames._replace(rvec=rv, tvec=tv))
     lms = lms._replace(xyz=xyz)
 

@@ -300,22 +300,29 @@ def cull_keyframes(kfs: KeyframeStore, n_landmarks: int,
     K = kfs.valid.shape[0]
     order = jnp.argsort(jnp.where(kfs.valid, kfs.frames.frame_no,
                                   jnp.int32(2**30)))
+    # greedy re-evaluation without per-step recounting: start from the full
+    # view counts and subtract a culled keyframe's links as we go (a 512-
+    # element scatter instead of recounting all 16k links per candidate)
+    counts0 = _kf_view_counts_masked(kfs, kfs.valid, n_landmarks)
 
-    def body(valid, i):
+    def body(carry, i):
+        valid, counts = carry
         k = order[i]
-        views = _kf_view_counts_masked(kfs, valid, n_landmarks)
         links = kfs.frames.landmark[k]
         obs = (links >= 0) & kfs.frames.kp_valid[k]
         safe = jnp.where(obs, links, 0)
-        seen_others = views[safe] - 1          # exclude this keyframe itself
+        seen_others = counts[safe] - 1         # exclude this keyframe itself
         redundant = obs & (seen_others > min_others)
         n_obs = jnp.sum(obs)
         frac = jnp.sum(redundant) / jnp.maximum(n_obs, 1)
         is_young_rank = i < keep_first
         cull = valid[k] & (frac >= redundancy) & (n_obs > 0) & ~is_young_rank
-        return valid.at[k].set(valid[k] & ~cull), cull
+        counts = counts.at[jnp.where(obs & cull, links, n_landmarks)].add(
+            -1, mode="drop")
+        return (valid.at[k].set(valid[k] & ~cull), counts), cull
 
-    valid, culled = jax.lax.scan(body, kfs.valid, jnp.arange(K))
+    (valid, _), culled = jax.lax.scan(body, (kfs.valid, counts0),
+                                      jnp.arange(K))
     return kfs._replace(valid=valid), culled
 
 

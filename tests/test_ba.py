@@ -145,3 +145,54 @@ class TestConvergence:
         err_n = np.abs(np.asarray(rv_n) - np.asarray(rvec)).max()
         assert err_h < err_n  # robust loss helps under contamination
         assert err_h < 5e-3
+
+
+class TestCGSolver:
+    """run_ba_cg: the implicit-Schur PCG solver used by the mapping BA
+    (cfg.ba_solver="cg") must match run_ba's STRUCT_AND_POSE behavior."""
+
+    def test_cg_converges_and_matches_dense(self, rng):
+        from sfm_tpu.ba import run_ba_cg
+        K, rvec, tvec, X, obs = make_ba_scene(rng)
+        rv0 = np.asarray(rvec) + rng.normal(0, 0.02, rvec.shape).astype(np.float32)
+        tv0 = np.asarray(tvec) + rng.normal(0, 0.02, tvec.shape).astype(np.float32)
+        X0 = np.asarray(X) + rng.normal(0, 0.05, X.shape).astype(np.float32)
+        rv0 = jnp.asarray(rv0).at[0].set(rvec[0])
+        tv0 = jnp.asarray(tv0).at[0].set(tvec[0])
+        X0 = jnp.asarray(X0)
+        cam_free = jnp.ones(4, bool).at[0].set(False)
+        lm_free = jnp.ones(60, bool)
+        rv_d, tv_d, X_d, st_d = run_ba(K, rv0, tv0, X0, obs,
+                                       cam_free=cam_free, lm_free=lm_free,
+                                       iterations=25)
+        rv_c, tv_c, X_c, st_c = run_ba_cg(K, rv0, tv0, X0, obs,
+                                          cam_free=cam_free, lm_free=lm_free,
+                                          iterations=25, cg_iterations=20)
+        assert float(st_c.final_cost) < 1e-2 * float(st_c.initial_cost)
+        # both reach the same optimum (exact projections -> cost ~ 0)
+        assert float(st_c.final_cost) < float(st_d.final_cost) * 10 + 1e-4
+        np.testing.assert_allclose(np.asarray(rv_c), np.asarray(rv_d),
+                                   atol=2e-3)
+        np.testing.assert_allclose(np.asarray(tv_c), np.asarray(tv_d),
+                                   atol=1e-2)
+
+    def test_cg_masked_padding_untouched(self, rng):
+        from sfm_tpu.ba import run_ba_cg
+        K, rvec, tvec, X, obs = make_ba_scene(rng, n_cams=3, n_pts=40)
+        rvec_p = jnp.concatenate([rvec, jnp.zeros((1, 3))])
+        tvec_p = jnp.concatenate([tvec, jnp.zeros((1, 3))])
+        X_p = jnp.concatenate([X, jnp.full((8, 3), 7.7)])
+        rv0 = rvec_p + 0.01
+        X0 = X_p + 0.02
+        cam_free = jnp.asarray([False, True, True, False])
+        lm_free = jnp.concatenate([jnp.ones(40, bool), jnp.zeros(8, bool)])
+        rv, tv, Xf, _ = run_ba_cg(K, rv0, tvec_p, X0, obs,
+                                  cam_free=cam_free, lm_free=lm_free,
+                                  iterations=10)
+        # frozen slots keep their inputs (up to the exp/log roundtrip of
+        # the zero pose update, as in run_ba)
+        np.testing.assert_allclose(np.asarray(rv)[0], np.asarray(rv0)[0],
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(rv)[3], np.asarray(rv0)[3],
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(Xf)[40:], np.asarray(X0)[40:])

@@ -145,16 +145,26 @@ def run_large_ba(K, rvec, tvec, xyz, tables: ObsTables, *,
                  cg_iterations: int = 25, lam0: float = 1e-3,
                  lam_up: float = 4.0, lam_down: float = 2.0,
                  huber_delta: float = 0.0, tol: float = 1e-4,
-                 onehot_threshold: int = 4096
+                 onehot_threshold: int = 4096,
+                 pallas_matvec: bool = False, pallas_tile: int = 256,
+                 pallas_interpret: bool = False
                  ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, BAStats]:
     """Implicit-Schur LM: outer damping loop, inner block-Jacobi PCG on the
-    reduced camera system.  All reductions are table-axis sums."""
+    reduced camera system.  All reductions are table-axis sums.
+
+    pallas_matvec=True routes every coupling contraction (CG matvec, rhs,
+    back-substitution) through the fused Pallas kernel (schur_pallas.py),
+    which reads the W table from HBM once per apply instead of
+    materializing one-hot operands; pallas_interpret runs that kernel in
+    interpreter mode (CPU tests)."""
     C = rvec.shape[0]
     L = xyz.shape[0]
     cam_free_f = cam_free.astype(jnp.float32)
     lm_free_f = lm_free.astype(jnp.float32)
     wT_x, w_z, needs_cam_major = make_coupling_ops(
         tables, C, onehot_threshold=onehot_threshold)
+    if pallas_matvec:
+        needs_cam_major = False
 
     def linearize(rvec, tvec, xyz):
         R = exp_so3(rvec)
@@ -181,15 +191,27 @@ def run_large_ba(K, rvec, tvec, xyz, tables: ObsTables, *,
         U, V, W_l, W_c, g_cam, g_lm = blocks
         Vinv = inv3_sym(_damp(V, lam))
 
-        def matvec(x):
-            Ux = jnp.einsum("cab,cb->ca", _damp(U, lam), x)
-            t = wT_x(W_l, x)
-            z = jnp.einsum("lab,lb->la", Vinv, t)
-            return Ux - w_z(W_l, W_c, z)
+        if pallas_matvec:
+            from .schur_pallas import SchurOperator
+            op = SchurOperator(W_l, tables.lm_cam, tile=pallas_tile,
+                               interpret=pallas_interpret)
+            op.set_vinv(Vinv)
 
-        # rhs = g_cam - W V^-1 g_lm
-        zg = jnp.einsum("lab,lb->la", Vinv, g_lm)
-        rhs = g_cam - w_z(W_l, W_c, zg)
+            def matvec(x):
+                Ux = jnp.einsum("cab,cb->ca", _damp(U, lam), x)
+                return Ux - op.w_vinv_wt_x(x)
+
+            rhs = g_cam - op.w_vinv_g(g_lm, C)
+        else:
+            def matvec(x):
+                Ux = jnp.einsum("cab,cb->ca", _damp(U, lam), x)
+                t = wT_x(W_l, x)
+                z = jnp.einsum("lab,lb->la", Vinv, t)
+                return Ux - w_z(W_l, W_c, z)
+
+            # rhs = g_cam - W V^-1 g_lm
+            zg = jnp.einsum("lab,lb->la", Vinv, g_lm)
+            rhs = g_cam - w_z(W_l, W_c, zg)
 
         # block-Jacobi preconditioner: damped U block inverses
         Ud = _damp(U, lam)
@@ -220,8 +242,12 @@ def run_large_ba(K, rvec, tvec, xyz, tables: ObsTables, *,
         d_cam = d_cam * cam_free_f[:, None]
 
         # back-substitution: d_lm = Vinv (g_lm - W^T d_cam)
-        t = wT_x(W_l, d_cam)
-        d_lm = jnp.einsum("lab,lb->la", Vinv, g_lm - t) * lm_free_f[:, None]
+        if pallas_matvec:
+            d_lm = op.back_substitute(g_lm, d_cam) * lm_free_f[:, None]
+        else:
+            t = wT_x(W_l, d_cam)
+            d_lm = jnp.einsum("lab,lb->la", Vinv, g_lm - t) * \
+                lm_free_f[:, None]
 
         rv_new, tv_new = jax.vmap(apply_pose_update)(
             rvec, tvec, d_cam[:, :3], d_cam[:, 3:])

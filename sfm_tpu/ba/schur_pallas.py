@@ -1,0 +1,248 @@
+"""Pallas fused matvec for the implicit-Schur reduced camera system.
+
+The large-BA CG loop (ba/large.py, run_large_ba) spends its time in the
+coupling contractions
+    t[l] = sum_k  W[l,k]^T x[cam(l,k)]          (gather   direction)
+    y[c] = sum_{l,k: cam(l,k)=c} W[l,k] z[l]    (scatter  direction)
+per CG iteration.  The XLA one-hot-einsum formulation materializes the
+[L, kmax, C] one-hot operand in HBM (~2.4 GB per matvec at the 1k-camera /
+100k-landmark operating point); the gather formulation serializes on row
+gathers.  These kernels walk landmark tiles, keep the per-camera vectors
+x [8, Cp] / accumulator y [8, Cp] resident in VMEM, and build the one-hot
+operands as in-VMEM iota-compares feeding the MXU — they never touch HBM.
+
+The apply is TWO pallas calls (gather -> z, then scatter), not one fused
+kernel: Mosaic stack-allocates every intermediate for the whole kernel
+body, so a single kernel holding 2*kmax one-hot [Cp, TL] temporaries sits
+at the scoped-VMEM ceiling and serializes (~26 ms/apply measured); the
+split halves the live set and runs the same math in ~0.1 ms
+(benchmarks/bench_schur_bisect.py).
+
+One apply serves all three uses in the solver (signs chosen by the
+caller):
+    CG matvec:   S x     = damp(U) x - y(x, g=0)
+    CG rhs:      rhs     = g_cam    - y(0, g=g_lm)
+    back-subst.: d_lm    = z(-d_cam, g=g_lm)   (gather pass only)
+
+Layout rule (benchmarks/bench_schur_variants.py): every block's
+second-to-minor dim and every in-kernel sublane slice offset must be a
+multiple of 8, or Mosaic falls off the vector path.  All per-landmark
+tables therefore pad their row groups to 8:
+    wt    [nT, 3, kmax*8, TL]  wt[i, c, k*8+r, j] = W[iTL+j, k, r, c]
+                               (r in 0..5 real block rows, 6..7 zero)
+    cams  [nT, 8,  TL]  int32  camera index per (landmark, k) slot (k<kmax)
+    vinvt [nT, 16, TL]         rows a*3+b of the 3x3 inverse, 9..15 zero
+    gt    [nT, 8,  TL]         rows 0..2 real
+    x     [8, Cp]              rows 0..5 real; Cp = C padded to lanes
+Padding observations carry zero W blocks (weights are folded into W at
+linearization), so no masking is needed in-kernel.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANE = 128
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def pack_lm_tiles(arr: jnp.ndarray, tile: int, pad_rows: int = 0
+                  ) -> jnp.ndarray:
+    """[L, d] (or [L, ...] flattened) -> [nT, max(d, pad_rows), TL] with
+    zero padding of both the landmark axis and the row axis."""
+    L = arr.shape[0]
+    Lp = _round_up(L, tile)
+    flat = arr.reshape(L, -1)
+    d = max(flat.shape[1], pad_rows)
+    flat = jnp.pad(flat, ((0, Lp - L), (0, d - flat.shape[1])))
+    return flat.reshape(Lp // tile, tile, d).transpose(0, 2, 1)
+
+
+def unpack_lm_tiles(tiled: jnp.ndarray, L: int, d: int = None) -> jnp.ndarray:
+    """[nT, d_pad, tile] -> [L, d]."""
+    nT, dp, tile = tiled.shape
+    out = tiled.transpose(0, 2, 1).reshape(nT * tile, dp)[:L]
+    return out if d is None else out[:, :d]
+
+
+def _ekT(cams_ref, k, Cp):
+    """One-hot [Cp, TL] for the tile's k-th camera column, built in VMEM."""
+    cam_k = cams_ref[0, k, :]
+    col = jax.lax.broadcasted_iota(jnp.int32, (Cp, cam_k.shape[0]), 0)
+    return (col == cam_k[None, :]).astype(jnp.float32)
+
+
+def _gather_kernel(kmax: int, Cp: int,
+                   cams_ref, wt_ref, vinv_ref, g_ref, x_ref, z_ref):
+    """z = Vinv (W^T x + g) for one landmark tile.
+
+    The k loop is a lax.fori_loop, NOT a Python unroll: Mosaic
+    stack-allocates every straight-line intermediate for the whole body,
+    so an unrolled loop holds kmax one-hot [Cp, TL] temporaries (~6 MB)
+    and throttles when the kernel is embedded in a large program; the
+    fori_loop body's allocations are reused across iterations."""
+    prec = jax.lax.Precision.HIGHEST
+    TL = cams_ref.shape[-1]
+
+    def body(k, t):
+        ekT = _ekT(cams_ref, k, Cp)
+        xg = jnp.dot(x_ref[:], ekT, precision=prec,
+                     preferred_element_type=jnp.float32)     # [8, TL]
+        w_k = wt_ref[0, :, pl.ds(k * 8, 8), :]               # [3, 8, TL]
+        return t + jnp.sum(w_k * xg[None, :, :], axis=1)     # [3, TL]
+
+    t0 = g_ref[0, 0:3, :]
+    t = jax.lax.fori_loop(0, kmax, body, t0)
+    for a in range(3):
+        acc = vinv_ref[0, a * 3 + 0, :] * t[0]
+        acc = acc + vinv_ref[0, a * 3 + 1, :] * t[1]
+        acc = acc + vinv_ref[0, a * 3 + 2, :] * t[2]
+        z_ref[0, a, :] = acc
+
+
+def _scatter_kernel(kmax: int, Cp: int, cams_ref, wt_ref, z_ref, y_ref):
+    """y += sum over the tile of W z, scattered to cameras via the MXU.
+    fori_loop over k for the same VMEM-liveness reason as the gather."""
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        y_ref[:] = jnp.zeros_like(y_ref)
+    prec = jax.lax.Precision.HIGHEST
+
+    def body(k, acc):
+        w_k = wt_ref[0, :, pl.ds(k * 8, 8), :]               # [3, 8, TL]
+        # q[r] = sum_c W[k,r,c] z[c]
+        q = (w_k[0] * z_ref[0, 0:1, :]
+             + w_k[1] * z_ref[0, 1:2, :]
+             + w_k[2] * z_ref[0, 2:3, :])                    # [8, TL]
+        return acc + jax.lax.dot_general(
+            q, _ekT(cams_ref, k, Cp), (((1,), (1,)), ((), ())),
+            precision=prec, preferred_element_type=jnp.float32)  # [8, Cp]
+
+    acc = jax.lax.fori_loop(0, kmax, body,
+                            jnp.zeros((8, Cp), jnp.float32))
+    y_ref[:] += acc
+
+
+def _lm_specs(kmax: int, K8: int, TL: int):
+    return [
+        pl.BlockSpec((1, 8, TL), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 3, K8, TL), lambda i: (i, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+
+
+@functools.partial(jax.jit, static_argnames=("kmax", "interpret"))
+def schur_gather(cams_t, wt, vinv_t, g_t, x, *, kmax: int,
+                 interpret: bool = False):
+    """z_t [nT, 8, TL] = Vinv (W^T x + g), tiled."""
+    nT, _, K8, TL = wt.shape
+    Cp = x.shape[1]
+    return pl.pallas_call(
+        functools.partial(_gather_kernel, kmax, Cp),
+        grid=(nT,),
+        in_specs=_lm_specs(kmax, K8, TL) + [
+            pl.BlockSpec((1, 16, TL), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, TL), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, Cp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 8, TL), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nT, 8, TL), jnp.float32),
+        interpret=interpret,
+    )(cams_t, wt, vinv_t, g_t, x)
+
+
+@functools.partial(jax.jit, static_argnames=("kmax", "n_cams_pad",
+                                             "interpret"))
+def schur_scatter(cams_t, wt, z_t, *, kmax: int, n_cams_pad: int,
+                  interpret: bool = False):
+    """y [8, Cp] = sum_l W z, scattered to cameras."""
+    nT, _, K8, TL = wt.shape
+    Cp = n_cams_pad
+    return pl.pallas_call(
+        functools.partial(_scatter_kernel, kmax, Cp),
+        grid=(nT,),
+        in_specs=_lm_specs(kmax, K8, TL) + [
+            pl.BlockSpec((1, 8, TL), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((8, Cp), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((8, Cp), jnp.float32),
+        interpret=interpret,
+    )(cams_t, wt, z_t)
+
+
+class SchurOperator:
+    """Per-linearization wrapper: packs W/cams once, then serves matvec /
+    rhs / back-substitution through the fused kernels.  All methods operate
+    on camera-major [C, 6] vectors like the plain-XLA solver."""
+
+    def __init__(self, W_l: jnp.ndarray, lm_cam: jnp.ndarray, *,
+                 tile: int = 256, interpret: bool = False):
+        self.L, self.kmax = lm_cam.shape
+        self.tile = tile
+        self.interpret = interpret
+        # [L,kmax,6,3] -> [L, 3, kmax, 8] (c-major, r padded to 8)
+        W8 = jnp.pad(W_l, ((0, 0), (0, 0), (0, 2), (0, 0)))
+        self.wt = pack_lm_tiles(
+            W8.transpose(0, 3, 1, 2).reshape(self.L, -1), tile)
+        self.nT = self.wt.shape[0]
+        self.wt = self.wt.reshape(self.nT, 3, self.kmax * 8, tile)
+        self.cams_t = pack_lm_tiles(lm_cam, tile, pad_rows=8).astype(
+            jnp.int32)
+        self._zeros_g = jnp.zeros((self.nT, 8, tile), jnp.float32)
+
+    def set_vinv(self, Vinv: jnp.ndarray):
+        """Vinv [L,3,3] changes with the damping lambda."""
+        self.vinv_t = pack_lm_tiles(Vinv.reshape(self.L, 9), self.tile,
+                                    pad_rows=16)
+
+    def _pad_x(self, x: jnp.ndarray) -> jnp.ndarray:
+        C = x.shape[0]
+        Cp = _round_up(max(C, LANE), LANE)
+        return jnp.pad(x, ((0, Cp - C), (0, 2))).T
+
+    def _pack_g(self, g_lm: jnp.ndarray) -> jnp.ndarray:
+        return pack_lm_tiles(g_lm, self.tile, pad_rows=8)
+
+    def _apply(self, g_t, x_pad):
+        z_t = schur_gather(self.cams_t, self.wt, self.vinv_t, g_t, x_pad,
+                           kmax=self.kmax, interpret=self.interpret)
+        y = schur_scatter(self.cams_t, self.wt, z_t, kmax=self.kmax,
+                          n_cams_pad=x_pad.shape[1],
+                          interpret=self.interpret)
+        return y, z_t
+
+    def w_vinv_wt_x(self, x: jnp.ndarray) -> jnp.ndarray:
+        """y [C,6] = W Vinv W^T x  (the Schur coupling term of S x)."""
+        y, _ = self._apply(self._zeros_g, self._pad_x(x))
+        return y.T[:x.shape[0], :6]
+
+    def w_vinv_g(self, g_lm: jnp.ndarray, n_cams: int) -> jnp.ndarray:
+        """y [C,6] = W Vinv g_lm  (the rhs coupling term)."""
+        Cp = _round_up(max(n_cams, LANE), LANE)
+        y, _ = self._apply(self._pack_g(g_lm),
+                           jnp.zeros((8, Cp), jnp.float32))
+        return y.T[:n_cams, :6]
+
+    def back_substitute(self, g_lm: jnp.ndarray, d_cam: jnp.ndarray
+                        ) -> jnp.ndarray:
+        """d_lm [L,3] = Vinv (g_lm - W^T d_cam)."""
+        z_t = schur_gather(self.cams_t, self.wt, self.vinv_t,
+                           self._pack_g(g_lm), self._pad_x(-d_cam),
+                           kmax=self.kmax, interpret=self.interpret)
+        return unpack_lm_tiles(z_t, self.L, 3)

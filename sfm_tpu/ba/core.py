@@ -26,7 +26,7 @@ import jax.numpy as jnp
 
 from ..geometry.rotations import exp_so3
 from .residuals import (Observations, residuals_and_jacobians, huber_weights,
-                        apply_pose_update)
+                        apply_pose_update, bmv_small)
 
 
 class BAMode(enum.IntEnum):
@@ -58,11 +58,14 @@ def _assemble(K, rvec, tvec, xyz, obs: Observations, cam_free, lm_free,
     B = B * (w * lm_free[obs.lm_idx])[:, None, None]
     rw = r * w[:, None]
 
-    AtA = jnp.einsum("oia,oib->oab", A, A)          # [O,6,6]
-    BtB = jnp.einsum("oia,oib->oab", B, B)          # [O,3,3]
-    AtB = jnp.einsum("oia,oib->oab", A, B)          # [O,6,3]
-    Atr = jnp.einsum("oia,oi->oa", A, rw)           # [O,6]
-    Btr = jnp.einsum("oia,oi->oa", B, rw)           # [O,3]
+    # per-observation block products as broadcast multiply-reduces (tiny
+    # batched dot_generals lower to slow convolution kernels on TPU — see
+    # residuals.bmm_small)
+    AtA = jnp.sum(A[:, :, :, None] * A[:, :, None, :], axis=1)  # [O,6,6]
+    BtB = jnp.sum(B[:, :, :, None] * B[:, :, None, :], axis=1)  # [O,3,3]
+    AtB = jnp.sum(A[:, :, :, None] * B[:, :, None, :], axis=1)  # [O,6,3]
+    Atr = jnp.sum(A * rw[:, :, None], axis=1)                   # [O,6]
+    Btr = jnp.sum(B * rw[:, :, None], axis=1)                   # [O,3]
 
     U = jnp.zeros((C, 6, 6)).at[obs.cam_idx].add(AtA)
     V = jnp.zeros((L, 3, 3)).at[obs.lm_idx].add(BtB)
@@ -124,7 +127,7 @@ def _solve_step(U, V, W, g_cam, g_lm, lam, mode: BAMode):
     Vd = _damp(V, lam)
 
     if mode == BAMode.STRUCT_ONLY:
-        d_lm = jnp.einsum("lab,lb->la", inv3_sym(Vd), g_lm)
+        d_lm = bmv_small(inv3_sym(Vd), g_lm)
         return jnp.zeros((C, 6), U.dtype), d_lm
 
     if mode == BAMode.POSE_ONLY:
@@ -140,7 +143,7 @@ def _solve_step(U, V, W, g_cam, g_lm, lam, mode: BAMode):
     d_cam = jnp.linalg.solve(S, rhs.reshape(-1)).reshape(C, 6)
     # back-substitution: V d_lm = g_lm - W^T d_cam
     Wt_dc = jnp.einsum("clad,ca->ld", W, d_cam)
-    d_lm = jnp.einsum("lab,lb->la", Vinv, g_lm - Wt_dc)
+    d_lm = bmv_small(Vinv, g_lm - Wt_dc)
     return d_cam, d_lm
 
 
@@ -243,11 +246,13 @@ def _assemble_cg(K, rvec, tvec, xyz, obs: Observations, cam_free, lm_free,
     B = B * (w * lm_free[obs.lm_idx])[:, None, None]
     rw = r * w[:, None]
 
-    AtA = jnp.einsum("oia,oib->oab", A, A).reshape(-1, 36)
-    BtB = jnp.einsum("oia,oib->oab", B, B).reshape(-1, 9)
-    W_o = jnp.einsum("oia,oib->oab", A, B)          # [O,6,3]
-    Atr = jnp.einsum("oia,oi->oa", A, rw)
-    Btr = jnp.einsum("oia,oi->oa", B, rw)
+    AtA = jnp.sum(A[:, :, :, None] * A[:, :, None, :], axis=1) \
+        .reshape(-1, 36)
+    BtB = jnp.sum(B[:, :, :, None] * B[:, :, None, :], axis=1) \
+        .reshape(-1, 9)
+    W_o = jnp.sum(A[:, :, :, None] * B[:, :, None, :], axis=1)  # [O,6,3]
+    Atr = jnp.sum(A * rw[:, :, None], axis=1)
+    Btr = jnp.sum(B * rw[:, :, None], axis=1)
 
     U = _onehot_matmul_T(obs.cam_idx, C, AtA).reshape(C, 6, 6)
     g_cam = -_onehot_matmul_T(obs.cam_idx, C, Atr)
@@ -312,10 +317,10 @@ def run_ba_cg(K, rvec, tvec, xyz, obs: Observations, *,
 
         def matvec(x):
             Ux = jnp.einsum("cab,cb->ca", Ud, x)
-            z = jnp.einsum("lab,lb->la", Vinv, wT_x(x))
+            z = bmv_small(Vinv, wT_x(x))
             return Ux - w_z(z)
 
-        zg = jnp.einsum("lab,lb->la", Vinv, g_lm)
+        zg = bmv_small(Vinv, g_lm)
         rhs = g_cam - w_z(zg)
         M_inv = jnp.linalg.inv(Ud + 1e-6 * jnp.eye(6))
 
@@ -340,7 +345,7 @@ def run_ba_cg(K, rvec, tvec, xyz, obs: Observations, *,
         d_cam, _, _, _ = jax.lax.fori_loop(
             0, cg_iterations, cg_body, (x0, r0, z0, z0))
         d_cam = d_cam * cam_free_f[:, None]
-        d_lm = jnp.einsum("lab,lb->la", Vinv, g_lm - wT_x(d_cam)) * \
+        d_lm = bmv_small(Vinv, g_lm - wT_x(d_cam)) * \
             lm_free_f[:, None]
 
         rv_new, tv_new = jax.vmap(apply_pose_update)(

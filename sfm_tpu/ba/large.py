@@ -29,7 +29,7 @@ import jax.numpy as jnp
 
 from ..geometry.rotations import exp_so3
 from .residuals import Observations, residuals_and_jacobians, huber_weights, \
-    apply_pose_update
+    apply_pose_update, bmv_small
 from .core import BAStats, inv3_sym, _damp
 
 
@@ -147,6 +147,7 @@ def run_large_ba(K, rvec, tvec, xyz, tables: ObsTables, *,
                  huber_delta: float = 0.0, tol: float = 1e-4,
                  onehot_threshold: int = 4096,
                  pallas_matvec: bool = False, pallas_tile: int = 256,
+                 pallas_precision: str = "bf16x3",
                  pallas_interpret: bool = False
                  ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, BAStats]:
     """Implicit-Schur LM: outer damping loop, inner block-Jacobi PCG on the
@@ -176,13 +177,18 @@ def run_large_ba(K, rvec, tvec, xyz, tables: ObsTables, *,
         r_c, A_c, B_c, rw_c, w_c = _blocks_in_layout(
             K, R, tvec, xyz, _cam_self(C, tables.cam_lm), tables.cam_lm,
             tables.cam_uv, tables.cam_w, cam_free_f, lm_free_f, huber_delta)
-        U = jnp.einsum("cjia,cjib->cab", A_c, A_c)           # [C,6,6]
-        g_cam = -jnp.einsum("cjia,cji->ca", A_c, rw_c)       # [C,6]
-        V = jnp.einsum("lkia,lkib->lab", B_l, B_l)           # [L,3,3]
-        g_lm = -jnp.einsum("lkia,lki->la", B_l, rw_l)        # [L,3]
-        W_l = jnp.einsum("lkia,lkib->lkab", A_l, B_l)        # [L,kmax,6,3]
-        W_c = jnp.einsum("cjia,cjib->cjab", A_c, B_c) \
-            if needs_cam_major else None                     # [C,nmax,6,3]
+        # block products as broadcast multiply-reduces, not dot_generals
+        # (see residuals.bmm_small for why)
+        U = jnp.sum(A_c[..., :, None] * A_c[..., None, :],
+                    axis=(1, 2))                             # [C,6,6]
+        g_cam = -jnp.sum(A_c * rw_c[..., None], axis=(1, 2))  # [C,6]
+        V = jnp.sum(B_l[..., :, None] * B_l[..., None, :],
+                    axis=(1, 2))                             # [L,3,3]
+        g_lm = -jnp.sum(B_l * rw_l[..., None], axis=(1, 2))  # [L,3]
+        W_l = jnp.sum(A_l[..., :, None] * B_l[..., None, :],
+                      axis=2)                                # [L,kmax,6,3]
+        W_c = (jnp.sum(A_c[..., :, None] * B_c[..., None, :], axis=2)
+               if needs_cam_major else None)                 # [C,nmax,6,3]
         cost = jnp.sum(jnp.sum(r_l * r_l, -1) * w_l)
         return (U, V, W_l, W_c, g_cam, g_lm), cost
 
@@ -194,6 +200,7 @@ def run_large_ba(K, rvec, tvec, xyz, tables: ObsTables, *,
         if pallas_matvec:
             from .schur_pallas import SchurOperator
             op = SchurOperator(W_l, tables.lm_cam, tile=pallas_tile,
+                               precision=pallas_precision,
                                interpret=pallas_interpret)
             op.set_vinv(Vinv)
 
@@ -206,11 +213,11 @@ def run_large_ba(K, rvec, tvec, xyz, tables: ObsTables, *,
             def matvec(x):
                 Ux = jnp.einsum("cab,cb->ca", _damp(U, lam), x)
                 t = wT_x(W_l, x)
-                z = jnp.einsum("lab,lb->la", Vinv, t)
+                z = bmv_small(Vinv, t)
                 return Ux - w_z(W_l, W_c, z)
 
             # rhs = g_cam - W V^-1 g_lm
-            zg = jnp.einsum("lab,lb->la", Vinv, g_lm)
+            zg = bmv_small(Vinv, g_lm)
             rhs = g_cam - w_z(W_l, W_c, zg)
 
         # block-Jacobi preconditioner: damped U block inverses
@@ -246,7 +253,7 @@ def run_large_ba(K, rvec, tvec, xyz, tables: ObsTables, *,
             d_lm = op.back_substitute(g_lm, d_cam) * lm_free_f[:, None]
         else:
             t = wT_x(W_l, d_cam)
-            d_lm = jnp.einsum("lab,lb->la", Vinv, g_lm - t) * \
+            d_lm = bmv_small(Vinv, g_lm - t) * \
                 lm_free_f[:, None]
 
         rv_new, tv_new = jax.vmap(apply_pose_update)(

@@ -25,6 +25,21 @@ import jax.numpy as jnp
 from ..geometry.rotations import exp_so3, hat, log_so3
 
 
+def bmm_small(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Batched tiny matmul [..., m, k] @ [..., k, n] as a broadcast
+    multiply-reduce.  XLA lowers batched dot_generals with m, n <= 6 to
+    convolution-style kernels that run ~70x off the bandwidth roofline on
+    TPU (measured in benchmarks/bench_ba_trace.py); the elementwise form
+    fuses into one VPU pass."""
+    return jnp.sum(a[..., :, :, None] * b[..., None, :, :], axis=-2)
+
+
+def bmv_small(a: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """Batched tiny matrix-vector [..., m, k] @ [..., k] as a broadcast
+    multiply-reduce (same rationale as bmm_small)."""
+    return jnp.sum(a * v[..., None, :], axis=-1)
+
+
 class Observations(NamedTuple):
     """COO observation list (the AddResidualBlock loop's data,
     CTracker.cpp:676-696, as flat tensors)."""
@@ -44,7 +59,7 @@ def residuals_and_jacobians(K: jnp.ndarray, R: jnp.ndarray,
     Rc = R[obs.cam_idx]                   # [O,3,3]
     tc = tvec[obs.cam_idx]                # [O,3]
     X = xyz[obs.lm_idx]                   # [O,3]
-    RX = jnp.einsum("oij,oj->oi", Rc, X)
+    RX = jnp.sum(Rc * X[:, None, :], axis=-1)   # oij,oj->oi
     p = RX + tc                           # camera-frame point
     z = p[:, 2]
     z_safe = jnp.where(jnp.abs(z) < 1e-6, jnp.where(z < 0, -1e-6, 1e-6), z)
@@ -65,10 +80,10 @@ def residuals_and_jacobians(K: jnp.ndarray, R: jnp.ndarray,
 
     # d(p_cam)/d(dw) = -hat(R X); d(p_cam)/d(dt) = I; d(p_cam)/dX = R
     dp_dw = -hat(RX)                      # [O,3,3]
-    A_w = jnp.einsum("oij,ojk->oik", duv_dp, dp_dw)
+    A_w = bmm_small(duv_dp, dp_dw)        # oij,ojk->oik
     A_t = duv_dp
     A = jnp.concatenate([A_w, A_t], axis=-1)          # [O,2,6]
-    B = jnp.einsum("oij,ojk->oik", duv_dp, Rc)        # [O,2,3]
+    B = bmm_small(duv_dp, Rc)             # oij,ojk->oik  [O,2,3]
     return r, A, B
 
 

@@ -73,14 +73,51 @@ def unpack_lm_tiles(tiled: jnp.ndarray, L: int, d: int = None) -> jnp.ndarray:
     return out if d is None else out[:, :d]
 
 
-def _ekT(cams_ref, k, Cp):
-    """One-hot [Cp, TL] for the tile's k-th camera column, built in VMEM."""
+def _ekT(cams_ref, k, Cp, dtype=jnp.float32):
+    """One-hot [Cp, TL] for the tile's k-th camera column, built in VMEM.
+    Exact in bf16 too (entries are 0/1)."""
     cam_k = cams_ref[0, k, :]
     col = jax.lax.broadcasted_iota(jnp.int32, (Cp, cam_k.shape[0]), 0)
-    return (col == cam_k[None, :]).astype(jnp.float32)
+    return (col == cam_k[None, :]).astype(dtype)
 
 
-def _gather_kernel(kmax: int, Cp: int,
+def _bf16_split3(x):
+    """x (f32) as three bf16 terms whose sum reproduces x to ~f32
+    accuracy.  Against an exactly-representable bf16 operand (our 0/1
+    one-hots), 3 bf16 MXU passes then equal one f32 HIGHEST dot at half
+    the passes (HIGHEST splits BOTH operands: 6 passes)."""
+    x0 = x.astype(jnp.bfloat16)
+    r1 = x - x0.astype(jnp.float32)
+    x1 = r1.astype(jnp.bfloat16)
+    x2 = (r1 - x1.astype(jnp.float32)).astype(jnp.bfloat16)
+    return x0, x1, x2
+
+
+def _onehot_dot(dense, ekT_bf16, precision: str, transpose: bool):
+    """dense [8, K] @ one-hot, at the requested effective precision.
+    transpose=False: dense [8, Cp] @ ekT [Cp, TL] -> [8, TL]
+    transpose=True:  dense [8, TL] x ekT [Cp, TL] contracted on TL -> [8, Cp]
+    """
+    dims = (((1,), (1,)), ((), ())) if transpose else (((1,), (0,)), ((), ()))
+    if precision == "highest":
+        return jax.lax.dot_general(
+            dense, ekT_bf16.astype(jnp.float32), dims,
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)
+    if precision == "bf16":
+        return jax.lax.dot_general(
+            dense.astype(jnp.bfloat16), ekT_bf16, dims,
+            preferred_element_type=jnp.float32)
+    # bf16x3: exact f32 via 3 one-sided bf16 splits
+    acc = None
+    for part in _bf16_split3(dense):
+        term = jax.lax.dot_general(part, ekT_bf16, dims,
+                                   preferred_element_type=jnp.float32)
+        acc = term if acc is None else acc + term
+    return acc
+
+
+def _gather_kernel(kmax: int, Cp: int, precision: str,
                    cams_ref, wt_ref, vinv_ref, g_ref, x_ref, z_ref):
     """z = Vinv (W^T x + g) for one landmark tile.
 
@@ -89,13 +126,10 @@ def _gather_kernel(kmax: int, Cp: int,
     so an unrolled loop holds kmax one-hot [Cp, TL] temporaries (~6 MB)
     and throttles when the kernel is embedded in a large program; the
     fori_loop body's allocations are reused across iterations."""
-    prec = jax.lax.Precision.HIGHEST
-    TL = cams_ref.shape[-1]
 
     def body(k, t):
-        ekT = _ekT(cams_ref, k, Cp)
-        xg = jnp.dot(x_ref[:], ekT, precision=prec,
-                     preferred_element_type=jnp.float32)     # [8, TL]
+        ekT = _ekT(cams_ref, k, Cp, jnp.bfloat16)
+        xg = _onehot_dot(x_ref[:], ekT, precision, False)    # [8, TL]
         w_k = wt_ref[0, :, pl.ds(k * 8, 8), :]               # [3, 8, TL]
         return t + jnp.sum(w_k * xg[None, :, :], axis=1)     # [3, TL]
 
@@ -108,7 +142,8 @@ def _gather_kernel(kmax: int, Cp: int,
         z_ref[0, a, :] = acc
 
 
-def _scatter_kernel(kmax: int, Cp: int, cams_ref, wt_ref, z_ref, y_ref):
+def _scatter_kernel(kmax: int, Cp: int, precision: str,
+                    cams_ref, wt_ref, z_ref, y_ref):
     """y += sum over the tile of W z, scattered to cameras via the MXU.
     fori_loop over k for the same VMEM-liveness reason as the gather."""
     i = pl.program_id(0)
@@ -116,7 +151,6 @@ def _scatter_kernel(kmax: int, Cp: int, cams_ref, wt_ref, z_ref, y_ref):
     @pl.when(i == 0)
     def _():
         y_ref[:] = jnp.zeros_like(y_ref)
-    prec = jax.lax.Precision.HIGHEST
 
     def body(k, acc):
         w_k = wt_ref[0, :, pl.ds(k * 8, 8), :]               # [3, 8, TL]
@@ -124,9 +158,8 @@ def _scatter_kernel(kmax: int, Cp: int, cams_ref, wt_ref, z_ref, y_ref):
         q = (w_k[0] * z_ref[0, 0:1, :]
              + w_k[1] * z_ref[0, 1:2, :]
              + w_k[2] * z_ref[0, 2:3, :])                    # [8, TL]
-        return acc + jax.lax.dot_general(
-            q, _ekT(cams_ref, k, Cp), (((1,), (1,)), ((), ())),
-            precision=prec, preferred_element_type=jnp.float32)  # [8, Cp]
+        ekT = _ekT(cams_ref, k, Cp, jnp.bfloat16)
+        return acc + _onehot_dot(q, ekT, precision, True)    # [8, Cp]
 
     acc = jax.lax.fori_loop(0, kmax, body,
                             jnp.zeros((8, Cp), jnp.float32))
@@ -142,14 +175,15 @@ def _lm_specs(kmax: int, K8: int, TL: int):
     ]
 
 
-@functools.partial(jax.jit, static_argnames=("kmax", "interpret"))
+@functools.partial(jax.jit, static_argnames=("kmax", "precision",
+                                             "interpret"))
 def schur_gather(cams_t, wt, vinv_t, g_t, x, *, kmax: int,
-                 interpret: bool = False):
+                 precision: str = "bf16x3", interpret: bool = False):
     """z_t [nT, 8, TL] = Vinv (W^T x + g), tiled."""
     nT, _, K8, TL = wt.shape
     Cp = x.shape[1]
     return pl.pallas_call(
-        functools.partial(_gather_kernel, kmax, Cp),
+        functools.partial(_gather_kernel, kmax, Cp, precision),
         grid=(nT,),
         in_specs=_lm_specs(kmax, K8, TL) + [
             pl.BlockSpec((1, 16, TL), lambda i: (i, 0, 0),
@@ -166,14 +200,14 @@ def schur_gather(cams_t, wt, vinv_t, g_t, x, *, kmax: int,
 
 
 @functools.partial(jax.jit, static_argnames=("kmax", "n_cams_pad",
-                                             "interpret"))
+                                             "precision", "interpret"))
 def schur_scatter(cams_t, wt, z_t, *, kmax: int, n_cams_pad: int,
-                  interpret: bool = False):
+                  precision: str = "bf16x3", interpret: bool = False):
     """y [8, Cp] = sum_l W z, scattered to cameras."""
     nT, _, K8, TL = wt.shape
     Cp = n_cams_pad
     return pl.pallas_call(
-        functools.partial(_scatter_kernel, kmax, Cp),
+        functools.partial(_scatter_kernel, kmax, Cp, precision),
         grid=(nT,),
         in_specs=_lm_specs(kmax, K8, TL) + [
             pl.BlockSpec((1, 8, TL), lambda i: (i, 0, 0),
@@ -192,9 +226,11 @@ class SchurOperator:
     on camera-major [C, 6] vectors like the plain-XLA solver."""
 
     def __init__(self, W_l: jnp.ndarray, lm_cam: jnp.ndarray, *,
-                 tile: int = 256, interpret: bool = False):
+                 tile: int = 256, precision: str = "bf16x3",
+                 interpret: bool = False):
         self.L, self.kmax = lm_cam.shape
         self.tile = tile
+        self.precision = precision
         self.interpret = interpret
         # [L,kmax,6,3] -> [L, 3, kmax, 8] (c-major, r padded to 8)
         W8 = jnp.pad(W_l, ((0, 0), (0, 0), (0, 2), (0, 0)))
@@ -221,9 +257,11 @@ class SchurOperator:
 
     def _apply(self, g_t, x_pad):
         z_t = schur_gather(self.cams_t, self.wt, self.vinv_t, g_t, x_pad,
-                           kmax=self.kmax, interpret=self.interpret)
+                           kmax=self.kmax, precision=self.precision,
+                           interpret=self.interpret)
         y = schur_scatter(self.cams_t, self.wt, z_t, kmax=self.kmax,
                           n_cams_pad=x_pad.shape[1],
+                          precision=self.precision,
                           interpret=self.interpret)
         return y, z_t
 
@@ -244,5 +282,6 @@ class SchurOperator:
         """d_lm [L,3] = Vinv (g_lm - W^T d_cam)."""
         z_t = schur_gather(self.cams_t, self.wt, self.vinv_t,
                            self._pack_g(g_lm), self._pad_x(-d_cam),
-                           kmax=self.kmax, interpret=self.interpret)
+                           kmax=self.kmax, precision=self.precision,
+                           interpret=self.interpret)
         return unpack_lm_tiles(z_t, self.L, 3)

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
-from ..ba.residuals import Observations, apply_pose_update
+from ..ba.residuals import Observations, apply_pose_update, bmv_small
 from ..ba.core import BAStats, inv3_sym, _damp
 from ..ba.large import ObsTables, build_tables, _blocks_in_layout, \
     make_coupling_ops
@@ -86,16 +86,18 @@ def build_dist_large_ba(mesh: Mesh, axis: str, n_cams: int, shard_size: int,
                     tables_l.cam_lm.shape),
                 tables_l.cam_lm, tables_l.cam_uv, tables_l.cam_w,
                 cam_free_f, lm_free_f, huber_delta)
-            # shard-partial camera terms -> one fused psum
-            U_p = jnp.einsum("cjia,cjib->cab", A_c, A_c)
-            gc_p = -jnp.einsum("cjia,cji->ca", A_c, rw_c)
+            # shard-partial camera terms -> one fused psum; block products
+            # as broadcast multiply-reduces (see residuals.bmm_small)
+            U_p = jnp.sum(A_c[..., :, None] * A_c[..., None, :],
+                          axis=(1, 2))
+            gc_p = -jnp.sum(A_c * rw_c[..., None], axis=(1, 2))
             cost_p = jnp.sum(jnp.sum(r_l * r_l, -1) * w_l)
             U, g_cam, cost = jax.lax.psum((U_p, gc_p, cost_p), axis)
-            V = jnp.einsum("lkia,lkib->lab", B_l, B_l)
-            g_lm = -jnp.einsum("lkia,lki->la", B_l, rw_l)
-            W_l_ = jnp.einsum("lkia,lkib->lkab", A_l, B_l)
-            W_c_ = jnp.einsum("cjia,cjib->cjab", A_c, B_c) \
-                if needs_cam_major else None
+            V = jnp.sum(B_l[..., :, None] * B_l[..., None, :], axis=(1, 2))
+            g_lm = -jnp.sum(B_l * rw_l[..., None], axis=(1, 2))
+            W_l_ = jnp.sum(A_l[..., :, None] * B_l[..., None, :], axis=2)
+            W_c_ = (jnp.sum(A_c[..., :, None] * B_c[..., None, :], axis=2)
+                    if needs_cam_major else None)
             return (U, V, W_l_, W_c_, g_cam, g_lm), cost
 
         blocks0, cost0 = linearize(rvec, tvec, xyz_l)
@@ -109,13 +111,13 @@ def build_dist_large_ba(mesh: Mesh, axis: str, n_cams: int, shard_size: int,
             def matvec(x):
                 Ux = jnp.einsum("cab,cb->ca", Ud, x)
                 t = wT_x(W_l, x)
-                z = jnp.einsum("lab,lb->la", Vinv, t)
+                z = bmv_small(Vinv, t)
                 # the Schur term sums over ALL landmarks -> psum the
                 # shard-partial per-camera contribution ([C, 6] over ICI)
                 y = jax.lax.psum(w_z(W_l, W_c, z), axis)
                 return Ux - y
 
-            zg = jnp.einsum("lab,lb->la", Vinv, g_lm)
+            zg = bmv_small(Vinv, g_lm)
             rhs = g_cam - jax.lax.psum(w_z(W_l, W_c, zg), axis)
 
             M_inv = jnp.linalg.inv(Ud + 1e-6 * jnp.eye(6))
@@ -143,7 +145,7 @@ def build_dist_large_ba(mesh: Mesh, axis: str, n_cams: int, shard_size: int,
             d_cam = d_cam * cam_free_f[:, None]
 
             t = wT_x(W_l, d_cam)
-            d_lm = jnp.einsum("lab,lb->la", Vinv, g_lm - t) * \
+            d_lm = bmv_small(Vinv, g_lm - t) * \
                 lm_free_f[:, None]
 
             rv_new, tv_new = jax.vmap(apply_pose_update)(

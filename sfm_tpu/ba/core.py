@@ -394,3 +394,42 @@ def observations_from_keyframes(kfs, lm_valid) -> Observations:
         uv=uv,
         w=linked.astype(jnp.float32),
     )
+
+
+def compact_landmarks(lm_valid, capacity: int):
+    """Rank live landmark slots into a dense [capacity] range.
+
+    The BA normal equations scale with the landmark AXIS LENGTH (the dense
+    solver materializes a [C, L, 6, 3] coupling), but only live landmarks
+    contribute; running BA over a compacted axis cuts every landmark-side
+    tensor by L/capacity.  Returns ``rank`` [L] mapping slot -> compact id
+    (== capacity for dead or overflow slots) and ``inv`` [capacity] mapping
+    compact id -> slot (-1 for unused).  Live slots beyond ``capacity``
+    overflow gracefully: they are simply left out (their observations get
+    zero weight, their positions stay fixed)."""
+    L = lm_valid.shape[0]
+    rank = jnp.cumsum(lm_valid.astype(jnp.int32)) - 1          # [L]
+    ok = lm_valid & (rank < capacity)
+    rank = jnp.where(ok, rank, capacity)
+    inv = jnp.full((capacity,), -1, jnp.int32).at[rank].set(
+        jnp.arange(L, dtype=jnp.int32), mode="drop")
+    return rank, inv
+
+
+def compact_ba_problem(xyz, lm_valid, obs: Observations, capacity: int):
+    """Remap (xyz, lm_free, obs) onto the compacted landmark axis.
+    Returns (xyz_c [capacity,3], lm_free_c [capacity], obs_c, inv)."""
+    rank, inv = compact_landmarks(lm_valid, capacity)
+    lm_free_c = inv >= 0
+    xyz_c = xyz[jnp.where(lm_free_c, inv, 0)]
+    lm_c = rank[obs.lm_idx]                                    # [O]
+    keep = lm_c < capacity
+    obs_c = obs._replace(lm_idx=jnp.where(keep, lm_c, 0),
+                         w=obs.w * keep.astype(jnp.float32))
+    return xyz_c, lm_free_c, obs_c, inv
+
+
+def scatter_back_landmarks(xyz, xyz_c, inv):
+    """Write optimized compact positions back into the full store."""
+    L = xyz.shape[0]
+    return xyz.at[jnp.where(inv >= 0, inv, L)].set(xyz_c, mode="drop")

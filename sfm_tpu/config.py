@@ -127,6 +127,13 @@ class SfMConfig:
     # capacities where the dense complement no longer fits)
     ba_solver: str = "dense"
     ba_cg_iterations: int = 15         # PCG iterations per LM step ("cg")
+    # compact the landmark axis before the mapping-pass BA: only live
+    # landmarks enter the normal equations, over a dense axis of this
+    # static capacity (0 = off, use the full max_landmarks axis).  Every
+    # landmark-side tensor — including the dense solver's [C, L, 6, 3]
+    # coupling — shrinks by max_landmarks/capacity.  Live landmarks beyond
+    # the capacity stay fixed for that pass (graceful overflow).
+    ba_landmark_capacity: int = 0
     # local BA: free only the most recent N keyframe poses during the
     # mapping-pass BA (0 = all free, the reference's behavior — its "local"
     # BA optimizes every keyframe, CSfM.cpp:250-259).  Structure stays free

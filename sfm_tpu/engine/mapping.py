@@ -25,6 +25,7 @@ import jax.numpy as jnp
 
 from ..config import SfMConfig
 from ..ba import BAMode, observations_from_keyframes, run_ba, run_ba_cg
+from ..ba.core import compact_ba_problem, scatter_back_landmarks
 from ..features.match import match_features
 from ..features.match_pallas import match_features_pallas
 from ..geometry.camera import project, depths
@@ -215,10 +216,20 @@ def mapping_pass(cfg: SfMConfig, cam: CameraParams, state: SfMState,
             jnp.where(recent_ok, recent, cfg.max_keyframes)].set(
                 True, mode="drop")
         cam_free = cam_free & in_window
+
+    # optional landmark-axis compaction: only live landmarks enter the
+    # normal equations (cuts the dense solver's [C, L, 6, 3] coupling and
+    # every other landmark-side tensor by max_landmarks/capacity)
+    ba_xyz, ba_lm_free, ba_obs = lms.xyz, lms.valid, obs
+    inv = None
+    if 0 < cfg.ba_landmark_capacity < cfg.max_landmarks:
+        ba_xyz, ba_lm_free, ba_obs, inv = compact_ba_problem(
+            lms.xyz, lms.valid, obs, cfg.ba_landmark_capacity)
+
     if cfg.ba_solver == "cg":
         rv, tv, xyz, stats = run_ba_cg(
-            cam.Kopt, kfs.frames.rvec, kfs.frames.tvec, lms.xyz, obs,
-            cam_free=cam_free, lm_free=lms.valid,
+            cam.Kopt, kfs.frames.rvec, kfs.frames.tvec, ba_xyz, ba_obs,
+            cam_free=cam_free, lm_free=ba_lm_free,
             iterations=cfg.ba_iterations,
             cg_iterations=cfg.ba_cg_iterations,
             lam0=cfg.ba_lambda_init, lam_up=cfg.ba_lambda_up,
@@ -226,12 +237,14 @@ def mapping_pass(cfg: SfMConfig, cam: CameraParams, state: SfMState,
             tol=cfg.ba_tol)
     else:
         rv, tv, xyz, stats = run_ba(
-            cam.Kopt, kfs.frames.rvec, kfs.frames.tvec, lms.xyz, obs,
-            cam_free=cam_free, lm_free=lms.valid,
+            cam.Kopt, kfs.frames.rvec, kfs.frames.tvec, ba_xyz, ba_obs,
+            cam_free=cam_free, lm_free=ba_lm_free,
             mode=BAMode.STRUCT_AND_POSE, iterations=cfg.ba_iterations,
             lam0=cfg.ba_lambda_init, lam_up=cfg.ba_lambda_up,
             lam_down=cfg.ba_lambda_down, huber_delta=cfg.ba_huber_delta,
             tol=cfg.ba_tol)
+    if inv is not None:
+        xyz = scatter_back_landmarks(lms.xyz, xyz, inv)
     kfs = kfs._replace(frames=kfs.frames._replace(rvec=rv, tvec=tv))
     lms = lms._replace(xyz=xyz)
 

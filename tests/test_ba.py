@@ -196,3 +196,70 @@ class TestCGSolver:
         np.testing.assert_allclose(np.asarray(rv)[3], np.asarray(rv0)[3],
                                    atol=1e-6)
         np.testing.assert_allclose(np.asarray(Xf)[40:], np.asarray(X0)[40:])
+
+
+class TestCompaction:
+    """compact_ba_problem / scatter_back_landmarks: BA over the compacted
+    landmark axis must match full-axis BA exactly when capacity suffices,
+    and overflow must degrade gracefully (extra landmarks stay fixed)."""
+
+    def _scattered_scene(self, rng, L_total=96, n_pts=40):
+        # live landmarks scattered through a mostly-dead slot axis
+        K, rvec, tvec, X, obs = make_ba_scene(rng, n_cams=3, n_pts=n_pts)
+        slots = np.sort(rng.choice(L_total, n_pts, replace=False))
+        X_full = jnp.asarray(np.full((L_total, 3), 7.7, np.float32)
+                             ).at[jnp.asarray(slots)].set(X)
+        lm_valid = jnp.zeros(L_total, bool).at[jnp.asarray(slots)].set(True)
+        remap = jnp.asarray(slots, jnp.int32)[obs.lm_idx]
+        obs = obs._replace(lm_idx=remap)
+        return K, rvec, tvec, X_full, lm_valid, obs, slots
+
+    def test_compact_matches_full(self, rng):
+        from sfm_tpu.ba.core import compact_ba_problem, \
+            scatter_back_landmarks
+        K, rvec, tvec, X_full, lm_valid, obs, slots = \
+            self._scattered_scene(rng)
+        X0 = X_full + 0.02 * lm_valid[:, None]
+        rv0 = rvec + 0.01
+        cam_free = jnp.asarray([False, True, True])
+
+        rv_f, tv_f, X_f, st_f = run_ba(
+            K, rv0, tvec, X0, obs, cam_free=cam_free, lm_free=lm_valid,
+            iterations=10)
+
+        Xc, lm_free_c, obs_c, inv = compact_ba_problem(X0, lm_valid, obs, 64)
+        assert int(jnp.sum(lm_free_c)) == 40
+        rv_c, tv_c, X_c, st_c = run_ba(
+            K, rv0, tvec, Xc, obs_c, cam_free=cam_free, lm_free=lm_free_c,
+            iterations=10)
+        X_back = scatter_back_landmarks(X0, X_c, inv)
+
+        np.testing.assert_allclose(np.asarray(rv_c), np.asarray(rv_f),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(X_back), np.asarray(X_f),
+                                   atol=1e-4)
+        # dead slots keep their sentinel value
+        dead = ~np.asarray(lm_valid)
+        np.testing.assert_allclose(np.asarray(X_back)[dead], 7.7)
+
+    def test_overflow_keeps_extra_landmarks_fixed(self, rng):
+        from sfm_tpu.ba.core import compact_ba_problem, \
+            scatter_back_landmarks
+        K, rvec, tvec, X_full, lm_valid, obs, slots = \
+            self._scattered_scene(rng)
+        X0 = X_full + 0.02 * lm_valid[:, None]
+        cam_free = jnp.asarray([False, True, True])
+        cap = 24  # < 40 live landmarks: the last 16 overflow
+        Xc, lm_free_c, obs_c, inv = compact_ba_problem(X0, lm_valid, obs,
+                                                       cap)
+        assert int(jnp.sum(lm_free_c)) == cap
+        # dropped observations are zero-weighted
+        assert float(jnp.sum(obs_c.w)) < float(jnp.sum(obs.w))
+        rv_c, tv_c, X_c, _ = run_ba(
+            K, rvec + 0.01, tvec, Xc, obs_c, cam_free=cam_free,
+            lm_free=lm_free_c, iterations=8)
+        X_back = scatter_back_landmarks(X0, X_c, inv)
+        # overflowed live slots keep their input positions
+        over = np.asarray(slots)[cap:]
+        np.testing.assert_allclose(np.asarray(X_back)[over],
+                                   np.asarray(X0)[over])

@@ -19,6 +19,7 @@ the landmark axis and psums the reduced camera system.
 from __future__ import annotations
 
 import enum
+import functools
 from typing import NamedTuple, Tuple
 
 import jax
@@ -43,11 +44,19 @@ class BAStats(NamedTuple):
 
 
 def _assemble(K, rvec, tvec, xyz, obs: Observations, cam_free, lm_free,
-              huber_delta: float, mode: "BAMode" = None):
+              huber_delta: float, mode: "BAMode" = None,
+              cam_major: bool = False):
     """Normal-equation blocks U [C,6,6], V [L,3,3], W [C,L,6,3],
     g_cam [C,6], g_lm [L,3] AND the (robustified) cost at the current
     linearization point — one residual evaluation serves both.  The
-    (large) W coupling is only materialized when the mode needs it."""
+    (large) W coupling is only materialized when the mode needs it.
+
+    With ``cam_major=True`` (valid when obs.cam_idx is the canonical
+    ``repeat(arange(C), O // C)`` layout that observations_from_keyframes
+    emits) every index-space reduction is scatter-free: camera-side sums
+    are plain reshape-reductions and landmark-side sums ride one one-hot
+    MXU matmul — scatter-adds over 16k observations serialize on TPU
+    (~8 ms/LM-iter at mapping shapes, see benchmarks)."""
     C = rvec.shape[0]
     L = xyz.shape[0]
     R = exp_so3(rvec)
@@ -67,14 +76,35 @@ def _assemble(K, rvec, tvec, xyz, obs: Observations, cam_free, lm_free,
     Atr = jnp.sum(A * rw[:, :, None], axis=1)                   # [O,6]
     Btr = jnp.sum(B * rw[:, :, None], axis=1)                   # [O,3]
 
-    U = jnp.zeros((C, 6, 6)).at[obs.cam_idx].add(AtA)
-    V = jnp.zeros((L, 3, 3)).at[obs.lm_idx].add(BtB)
-    if mode == BAMode.STRUCT_AND_POSE or mode is None:
-        W = jnp.zeros((C, L, 6, 3)).at[obs.cam_idx, obs.lm_idx].add(AtB)
+    want_W = mode == BAMode.STRUCT_AND_POSE or mode is None
+    if cam_major:
+        N = obs.cam_idx.shape[0] // C
+        U = AtA.reshape(C, N, 6, 6).sum(1)
+        g_cam = -Atr.reshape(C, N, 6).sum(1)
+        # one shared landmark one-hot feeds V, g_lm and (batched) W
+        E = (obs.lm_idx[:, None] ==
+             jnp.arange(L, dtype=jnp.int32)).astype(jnp.float32)  # [O,L]
+        dot = functools.partial(jax.lax.dot_general,
+                                preferred_element_type=jnp.float32)
+        VG = dot(E, jnp.concatenate(
+            [BtB.reshape(-1, 9), Btr], axis=1),
+            (((0,), (0,)), ((), ())))                            # [L,12]
+        V = VG[:, :9].reshape(L, 3, 3)
+        g_lm = -VG[:, 9:]
+        if want_W:
+            W = dot(E.reshape(C, N, L), AtB.reshape(C, N, 18),
+                    (((1,), (1,)), ((0,), (0,)))).reshape(C, L, 6, 3)
+        else:
+            W = jnp.zeros((1, 1, 6, 3))
     else:
-        W = jnp.zeros((1, 1, 6, 3))  # unused placeholder for other modes
-    g_cam = jnp.zeros((C, 6)).at[obs.cam_idx].add(-Atr)
-    g_lm = jnp.zeros((L, 3)).at[obs.lm_idx].add(-Btr)
+        U = jnp.zeros((C, 6, 6)).at[obs.cam_idx].add(AtA)
+        V = jnp.zeros((L, 3, 3)).at[obs.lm_idx].add(BtB)
+        if want_W:
+            W = jnp.zeros((C, L, 6, 3)).at[obs.cam_idx, obs.lm_idx].add(AtB)
+        else:
+            W = jnp.zeros((1, 1, 6, 3))  # unused placeholder
+        g_cam = jnp.zeros((C, 6)).at[obs.cam_idx].add(-Atr)
+        g_lm = jnp.zeros((L, 3)).at[obs.lm_idx].add(-Btr)
 
     sq = jnp.sum(r * r, axis=-1)
     if huber_delta > 0:
@@ -159,7 +189,7 @@ def run_ba(K, rvec, tvec, xyz, obs: Observations, *,
            cam_free, lm_free, mode: BAMode = BAMode.STRUCT_AND_POSE,
            iterations: int = 20, lam0: float = 1e-3, lam_up: float = 4.0,
            lam_down: float = 2.0, huber_delta: float = 0.0,
-           tol: float = 1e-4
+           tol: float = 1e-4, cam_major: bool = False
            ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, BAStats]:
     """CTracker::bundleAdjustmentStructAndPose equivalent.
 
@@ -168,11 +198,14 @@ def run_ba(K, rvec, tvec, xyz, obs: Observations, *,
     iteration: a trial step is assembled at the proposed point, which yields
     both its cost (accept/reject) and — when accepted — the next
     linearization; a rejected step reuses the carried linearization with a
-    larger lambda (classic LM, no wasted assembly)."""
+    larger lambda (classic LM, no wasted assembly).  ``cam_major=True``
+    selects scatter-free assembly; only valid when obs.cam_idx is the
+    canonical repeat(arange(C), O//C) layout (observations_from_keyframes
+    emits exactly that)."""
     cam_free_f = cam_free.astype(jnp.float32)
     lm_free_f = lm_free.astype(jnp.float32)
     blocks, cost0 = _assemble(K, rvec, tvec, xyz, obs, cam_free_f,
-                              lm_free_f, huber_delta, mode)
+                              lm_free_f, huber_delta, mode, cam_major)
 
     def real_body(carry):
         rvec, tvec, xyz, blocks, lam, cost, accepted, done = carry
@@ -185,7 +218,7 @@ def run_ba(K, rvec, tvec, xyz, obs: Observations, *,
         xyz_new = xyz + d_lm
         blocks_new, new_cost = _assemble(K, rv_new, tv_new, xyz_new, obs,
                                          cam_free_f, lm_free_f, huber_delta,
-                                         mode)
+                                         mode, cam_major)
         ok = (new_cost < cost) & jnp.isfinite(new_cost)
         rvec = jnp.where(ok, rv_new, rvec)
         tvec = jnp.where(ok, tv_new, tvec)

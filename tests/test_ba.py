@@ -263,3 +263,27 @@ class TestCompaction:
         over = np.asarray(slots)[cap:]
         np.testing.assert_allclose(np.asarray(X_back)[over],
                                    np.asarray(X0)[over])
+
+
+def test_cam_major_assembly_matches_scatter(rng):
+    """Scatter-free (cam-major reshape + one-hot MXU) assembly must produce
+    the same LM trajectory as the scatter path."""
+    K, rvec, tvec, X, obs = make_ba_scene(rng, n_cams=3, n_pts=40)
+    # make_ba_scene emits the canonical cam-major repeat layout
+    assert np.array_equal(np.asarray(obs.cam_idx),
+                          np.repeat(np.arange(3), 40))
+    rv0 = rvec + 0.01
+    X0 = X + 0.02
+    cam_free = jnp.asarray([False, True, True])
+    lm_free = jnp.ones(40, bool)
+    out_s = run_ba(K, rv0, tvec, X0, obs, cam_free=cam_free,
+                   lm_free=lm_free, iterations=10, cam_major=False)
+    out_m = run_ba(K, rv0, tvec, X0, obs, cam_free=cam_free,
+                   lm_free=lm_free, iterations=10, cam_major=True)
+    np.testing.assert_allclose(np.asarray(out_m[0]), np.asarray(out_s[0]),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_m[1]), np.asarray(out_s[1]),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_m[2]), np.asarray(out_s[2]),
+                               atol=1e-4)
+    assert int(out_m[3].accepted) == int(out_s[3].accepted)

@@ -243,10 +243,12 @@ def mapping_pass(cfg: SfMConfig, cam: CameraParams, state: SfMState,
             lam0=cfg.ba_lambda_init, lam_up=cfg.ba_lambda_up,
             lam_down=cfg.ba_lambda_down, huber_delta=cfg.ba_huber_delta,
             tol=cfg.ba_tol,
-            # scatter-free assembly (the obs list is keyframe-ordered);
-            # its [O, L] landmark one-hot only pays off on a compacted
-            # landmark axis
-            cam_major=int(ba_xyz.shape[0]) <= 2048)
+            # scatter-free assembly (the obs list is keyframe-ordered):
+            # only on the compacted landmark axis, where the [O, L]
+            # one-hot pays for itself; small problems keep the scatter
+            # path (fast enough there, and its accumulation order is
+            # independent of the host backend's GEMM partitioning)
+            cam_major=inv is not None)
     if inv is not None:
         xyz = scatter_back_landmarks(lms.xyz, xyz, inv)
     kfs = kfs._replace(frames=kfs.frames._replace(rvec=rv, tvec=tv))

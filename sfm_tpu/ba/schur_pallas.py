@@ -104,14 +104,19 @@ def _onehot_dot(dense, ekT_bf16, precision: str, transpose: bool):
             dense, ekT_bf16.astype(jnp.float32), dims,
             precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32)
+    # NOTE: bf16 operand dots need an explicit DEFAULT precision — the
+    # package sets jax_default_matmul_precision=float32 globally, and
+    # Mosaic rejects fp32 contract precision on bf16 operands
     if precision == "bf16":
         return jax.lax.dot_general(
             dense.astype(jnp.bfloat16), ekT_bf16, dims,
+            precision=jax.lax.Precision.DEFAULT,
             preferred_element_type=jnp.float32)
     # bf16x3: exact f32 via 3 one-sided bf16 splits
     acc = None
     for part in _bf16_split3(dense):
         term = jax.lax.dot_general(part, ekT_bf16, dims,
+                                   precision=jax.lax.Precision.DEFAULT,
                                    preferred_element_type=jnp.float32)
         acc = term if acc is None else acc + term
     return acc

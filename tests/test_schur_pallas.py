@@ -98,10 +98,12 @@ def _tiny_ba_problem(rng, n_cams=5, n_lms=60, obs_per_lm=3):
 
 def test_run_large_ba_pallas_converges(rng):
     K, rv0, tv0, X0, tables, cam_free, lm_free = _tiny_ba_problem(rng)
+    # exact mode (bf16x3 splits reproduce f32): kernel-correctness parity
     rv, tv, X, stats = run_large_ba(
         jnp.asarray(K), rv0, tv0, X0, tables, cam_free=cam_free,
         lm_free=lm_free, iterations=6, cg_iterations=10, tol=0.0,
-        pallas_matvec=True, pallas_tile=16, pallas_interpret=True)
+        pallas_matvec=True, pallas_tile=16, pallas_precision="bf16x3",
+        pallas_interpret=True)
     assert float(stats.final_cost) < 1e-2 * float(stats.initial_cost)
     # matches the plain-XLA path's result
     rv2, tv2, X2, stats2 = run_large_ba(
@@ -109,3 +111,11 @@ def test_run_large_ba_pallas_converges(rng):
         lm_free=lm_free, iterations=6, cg_iterations=10, tol=0.0)
     np.testing.assert_allclose(np.asarray(tv), np.asarray(tv2),
                                rtol=1e-3, atol=1e-3)
+    # the performance default (bf16 camera-vector operand) perturbs CG
+    # search directions only — it must still converge to the same cost
+    # basin (LM accept/reject uses exact f32 costs)
+    _, _, _, stats_b = run_large_ba(
+        jnp.asarray(K), rv0, tv0, X0, tables, cam_free=cam_free,
+        lm_free=lm_free, iterations=6, cg_iterations=10, tol=0.0,
+        pallas_matvec=True, pallas_tile=16, pallas_interpret=True)
+    assert float(stats_b.final_cost) < 1e-2 * float(stats_b.initial_cost)

@@ -113,12 +113,70 @@ class Y4MSource(FrameSource):
                 yield yf, rgb
 
 
-def open_source(path: str) -> FrameSource:
+class NativeY4MSource(FrameSource):
+    """y4m via the native C++ runtime (sfm_tpu/native/framesource.cpp):
+    demux + YUV->gray/RGB conversion on a background prefetch thread, so
+    decode overlaps the engine's device work.  Bit-compatible with
+    Y4MSource."""
+
+    def __init__(self, path: str, prefetch: int = 4):
+        import ctypes
+        from .ply import _native
+        lib = _native()
+        if lib is None:
+            raise RuntimeError("native runtime not available")
+        if not hasattr(lib, "_fs_bound"):
+            lib.fs_open.argtypes = [ctypes.c_char_p, ctypes.c_int]
+            lib.fs_open.restype = ctypes.c_void_p
+            lib.fs_info.argtypes = [ctypes.c_void_p,
+                                    ctypes.POINTER(ctypes.c_int),
+                                    ctypes.POINTER(ctypes.c_int),
+                                    ctypes.POINTER(ctypes.c_double)]
+            lib.fs_next.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                    ctypes.c_void_p]
+            lib.fs_next.restype = ctypes.c_int
+            lib.fs_close.argtypes = [ctypes.c_void_p]
+            lib._fs_bound = True
+        self._lib = lib
+        self._ct = ctypes
+        self.path = path
+        self.prefetch = prefetch
+
+    def __iter__(self):
+        ct = self._ct
+        h = self._lib.fs_open(self.path.encode(), self.prefetch)
+        if not h:
+            raise ValueError(f"not a y4m file: {self.path}")
+        try:
+            w = ct.c_int()
+            ht = ct.c_int()
+            fps = ct.c_double()
+            self._lib.fs_info(h, ct.byref(w), ct.byref(ht), ct.byref(fps))
+            W, H = w.value, ht.value
+            while True:
+                gray = np.empty((H, W), np.float32)
+                rgb = np.empty((H, W, 3), np.uint8)
+                ok = self._lib.fs_next(
+                    h, gray.ctypes.data_as(ct.c_void_p),
+                    rgb.ctypes.data_as(ct.c_void_p))
+                if not ok:
+                    return
+                yield gray, rgb
+        finally:
+            self._lib.fs_close(h)
+
+
+def open_source(path: str, native: bool = True) -> FrameSource:
     if os.path.isdir(path):
         return ImageDirSource(path)
     if path.endswith((".npy", ".npz")):
         return NpyStackSource(path)
     if path.endswith(".y4m"):
+        if native:
+            try:
+                return NativeY4MSource(path)
+            except RuntimeError:
+                pass  # no toolchain: pure-Python fallback
         return Y4MSource(path)
     raise ValueError(f"unsupported frame source: {path} "
                      "(expected image dir, .npy/.npz, or .y4m)")

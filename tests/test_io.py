@@ -190,3 +190,29 @@ class TestEngineCheckpointMethods:
             m = eng2.add_frame(scene.render(K, rv[i], tv[i], 240, 320))
         assert int(m["status"]) == 1
         assert int(m["n_landmarks"]) > 30
+
+
+def test_native_y4m_matches_python_reader(tmp_path, rng):
+    """The C++ frame source (prefetch-threaded demux + YUV conversion)
+    must reproduce the pure-Python Y4MSource bit-for-bit."""
+    from sfm_tpu.viz import Y4MWriter
+    from sfm_tpu.io.video import Y4MSource, NativeY4MSource
+
+    path = str(tmp_path / "clip.y4m")
+    wri = Y4MWriter(path, 64, 48, fps=25, scale=1.0)
+    frames = [rng.integers(0, 255, (48, 64, 3)).astype(np.uint8)
+              for _ in range(5)]
+    for fr in frames:
+        wri.write(fr)
+    wri.close()
+
+    try:
+        native = list(NativeY4MSource(path, prefetch=2))
+    except RuntimeError:
+        import pytest
+        pytest.skip("native runtime not built")
+    ref = list(Y4MSource(path))
+    assert len(native) == len(ref) == 5
+    for (g_n, c_n), (g_r, c_r) in zip(native, ref):
+        np.testing.assert_array_equal(g_n, g_r)
+        np.testing.assert_array_equal(c_n, c_r)

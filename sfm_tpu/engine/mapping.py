@@ -138,8 +138,9 @@ def _reobserve_all(cfg: SfMConfig, cam: CameraParams, state: SfMState
     def one(slot, ok_slot):
         f = jax.tree.map(lambda x: x[slot], fr)
         linked = f.landmark >= 0
-        safe = jnp.where(linked, f.landmark, 0)
-        already = jnp.zeros((L,), bool).at[safe].set(linked, mode="drop")
+        # OOB sentinel + constant value: see tracking.widen_tracks
+        already = jnp.zeros((L,), bool).at[
+            jnp.where(linked, f.landmark, L)].set(True, mode="drop")
         proj = project(cam.Kopt, f.rvec, f.tvec, lms.xyz)
         depth = depths(f.rvec, f.tvec, lms.xyz)
         in_img = ((proj[:, 0] >= 0) & (proj[:, 0] < W) &

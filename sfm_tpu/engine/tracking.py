@@ -35,10 +35,13 @@ def widen_tracks(cfg: SfMConfig, cam: CameraParams, lms, curr, rep):
     against still-unmatched detections.  Returns the updated frame and the
     per-landmark-slot match info."""
     L = lms.valid.shape[0]
-    # landmarks already linked in this frame
+    # landmarks already linked in this frame.  NOTE: scatter constant True
+    # through an out-of-range sentinel — an in-range placeholder with
+    # per-entry values races duplicate writes at slot 0 (scatter-set order
+    # with duplicate indices is undefined)
     linked = curr.landmark >= 0
-    safe_link = jnp.where(linked, curr.landmark, 0)
-    already = jnp.zeros((L,), bool).at[safe_link].set(linked, mode="drop")
+    already = jnp.zeros((L,), bool).at[
+        jnp.where(linked, curr.landmark, L)].set(True, mode="drop")
 
     proj = project(cam.Kopt, curr.rvec, curr.tvec, lms.xyz)
     from ..geometry.camera import depths

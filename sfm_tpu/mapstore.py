@@ -140,22 +140,25 @@ def add_landmarks(lms: LandmarkStore, xyz: jnp.ndarray, desc: jnp.ndarray,
     it, CMap.cpp:57).  Returns (store, ids [M] with -1 for dropped)."""
     ids = allocate_slots(~lms.valid, want)
     ok = ids >= 0
-    safe = jnp.where(ok, ids, 0)
+    # drop-mode scatters with an out-of-range sentinel: a shared in-range
+    # placeholder (".at[where(ok, ids, 0)].set(...)") makes every dropped
+    # entry race the genuine slot-0 write — duplicate-index scatter-set
+    # order is undefined, so slot 0's contents (including validity!)
+    # became backend-dependent
+    L = lms.valid.shape[0]
+    idx = jnp.where(ok, ids, L)
     votes = (2 * unpack_bits(desc) - 1.0).astype(jnp.int8)
     if colors is None:
         colors = jnp.zeros(xyz.shape[:1] + (3,), jnp.float32)
     new = LandmarkStore(
-        xyz=lms.xyz.at[safe].set(jnp.where(ok[:, None], xyz, lms.xyz[safe])),
-        desc_votes=lms.desc_votes.at[safe].set(
-            jnp.where(ok[:, None], votes, lms.desc_votes[safe])),
-        color_sum=lms.color_sum.at[safe].set(
-            jnp.where(ok[:, None], colors, lms.color_sum[safe])),
-        n_desc=lms.n_desc.at[safe].set(jnp.where(ok, 1, lms.n_desc[safe])),
-        n_views=lms.n_views.at[safe].set(
-            jnp.where(ok, n_initial_views, lms.n_views[safe])),
-        kf_alive=lms.kf_alive.at[safe].set(jnp.where(ok, 0, lms.kf_alive[safe])),
-        t_alive=lms.t_alive.at[safe].set(jnp.where(ok, 0, lms.t_alive[safe])),
-        valid=lms.valid.at[safe].set(ok | lms.valid[safe]),
+        xyz=lms.xyz.at[idx].set(xyz, mode="drop"),
+        desc_votes=lms.desc_votes.at[idx].set(votes, mode="drop"),
+        color_sum=lms.color_sum.at[idx].set(colors, mode="drop"),
+        n_desc=lms.n_desc.at[idx].set(1, mode="drop"),
+        n_views=lms.n_views.at[idx].set(n_initial_views, mode="drop"),
+        kf_alive=lms.kf_alive.at[idx].set(0, mode="drop"),
+        t_alive=lms.t_alive.at[idx].set(0, mode="drop"),
+        valid=lms.valid.at[idx].set(True, mode="drop"),
     )
     return new, ids
 

@@ -152,3 +152,32 @@ class TestDistortedCamera:
         ate = umeyama_ate(est_c, gt_c)
         extent = np.linalg.norm(gt_c[-1] - gt_c[0])
         assert ate < 0.08 * extent
+
+
+class TestCompactedBA:
+    def test_flagship_ba_path_matches_default(self):
+        """The flagship enables landmark-axis compaction + cam-major
+        scatter-free BA assembly (ba_landmark_capacity < max_landmarks);
+        the engine must produce an equivalent-quality scan through that
+        path (bit-equality is not expected: assembly summation order
+        differs)."""
+        import dataclasses
+        cfg = dataclasses.replace(TEST_CFG, ba_landmark_capacity=256)
+        rng = np.random.default_rng(3)
+        scene = SpriteScene(rng)
+        rvecs, tvecs = strafe_trajectory(24)
+        eng = SfMEngine(K, (240, 320), None, cfg)
+        for i in range(24):
+            m = eng.add_frame(scene.render(K, rvecs[i], tvecs[i], 240, 320))
+        assert eng.status == RUNNING
+        assert int(m["n_landmarks"]) > 40
+        traj = eng.get_trajectory()
+        kfs = eng.state.kfs
+        valid = np.asarray(kfs.valid)
+        fns = np.sort(np.asarray(kfs.frames.frame_no)[valid])
+        est_c = np.stack([-rodrigues_np(traj[i, :3]).T @ traj[i, 3:]
+                          for i in range(len(traj))])
+        gt_c = np.stack([-rodrigues_np(rvecs[f]).T @ tvecs[f] for f in fns])
+        ate = umeyama_ate(est_c, gt_c)
+        extent = np.linalg.norm(gt_c[-1] - gt_c[0])
+        assert ate < 0.08 * extent

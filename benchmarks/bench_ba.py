@@ -45,6 +45,14 @@ def main(n_cams=1000, n_lms=100_000, obs_per_lm=6, iters=8, cg_iters=25,
           file=sys.stderr)
     tables = build_tables(obs, n_cams, n_lms, nmax=nmax, kmax=obs_per_lm)
 
+    plan = None
+    if pallas:
+        from sfm_tpu.ba.schur_pallas import SchurPlan
+        plan = SchurPlan(tables.lm_cam, tables.lm_w, n_cams, tile=256)
+        print(f"SchurPlan: window={plan.window} of Cp={plan.pad_width} "
+              f"({plan.pad_width // plan.window}x dot shrink)",
+              file=sys.stderr)
+
     rv0 = jnp.zeros((n_cams, 3)).at[1:].add(0.002)
     tv0 = jnp.asarray(cam_t)
     X0 = jnp.asarray(X) + jnp.asarray(
@@ -55,7 +63,7 @@ def main(n_cams=1000, n_lms=100_000, obs_per_lm=6, iters=8, cg_iters=25,
     f = jax.jit(lambda rv, tv, X: run_large_ba(
         jnp.asarray(K), rv, tv, X, tables, cam_free=cam_free,
         lm_free=lm_free, iterations=iters, cg_iterations=cg_iters,
-        tol=0.0, pallas_matvec=bool(pallas)))
+        tol=0.0, pallas_matvec=bool(pallas), schur_plan=plan))
     t0 = time.time()
     out = f(rv0, tv0, X0)
     jax.block_until_ready(out)
@@ -67,6 +75,23 @@ def main(n_cams=1000, n_lms=100_000, obs_per_lm=6, iters=8, cg_iters=25,
     jax.block_until_ready(out)
     total = time.time() - t0
     ms_per_iter = total / iters * 1000
+
+    # bytes-touched roofline: each CG/rhs/backsub apply reads the packed
+    # W table once (fused kernel) + writes z/reads x (small); each LM iter
+    # runs (cg_iters + 2) applies plus one linearization (~both tables'
+    # Jacobian blocks written + read once)
+    Lp = (n_lms + 255) // 256 * 256
+    wt_mb = Lp * 3 * obs_per_lm * 8 * 4 / 1e6
+    applies = cg_iters + 2
+    lin_mb = (n_lms * obs_per_lm * (2 + 12 + 6 + 2) * 4
+              + n_cams * nmax * (2 + 12 + 6 + 2) * 4) / 1e6
+    hbm_gb_s = 700.0  # v5e-class sustained
+    roofline_ms = (applies * wt_mb + 3 * lin_mb) / 1e3 / hbm_gb_s * 1e3
+    print(f"roofline: W-table {wt_mb:.0f} MB/apply x {applies} applies "
+          f"+ linearize ~{lin_mb:.0f} MB -> ~{roofline_ms:.1f} ms/LM-iter "
+          f"at {hbm_gb_s:.0f} GB/s HBM; measured {ms_per_iter:.1f} "
+          f"({100 * roofline_ms / max(ms_per_iter, 1e-9):.0f}% of roofline)",
+          file=sys.stderr)
 
     print(json.dumps({
         "metric": "ba_ms_per_iter",

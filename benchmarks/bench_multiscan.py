@@ -51,22 +51,25 @@ def main(batch=64, n_frames=48):
     from sfm_tpu.parallel.multiscan import MultiScanDriver
     drv = MultiScanDriver(cfg, cam, batch=batch, bucket=8)
 
+    T = cfg.keyframe_time_lag  # chunk length (max for one pending slot)
+    n_frames -= n_frames % T
     print("rendering frames...", file=sys.stderr)
-    all_frames = [jnp.asarray(np.stack(
-        [s.render(K, trajs[b][0][i], trajs[b][1][i], 240, 320)
-         for b, s in enumerate(scenes)]))
-        for i in range(n_frames)]
-    jax.block_until_ready(all_frames)
+    all_chunks = [jnp.asarray(np.stack([np.stack(
+        [s.render(K, trajs[b][0][c * T + i], trajs[b][1][c * T + i],
+                  240, 320) for b, s in enumerate(scenes)])
+        for i in range(T)])) for c in range(n_frames // T)]
+    jax.block_until_ready(all_chunks)
 
-    m = drv.step(all_frames[0])
+    # chunk 0: compile + bootstrap (untimed warmup)
+    m = drv.step_chunk(all_chunks[0])
     jax.block_until_ready(m)
     t0 = time.time()
-    for i in range(1, n_frames):
-        m = drv.step(all_frames[i])
-    jax.block_until_ready(m)
+    for ch in all_chunks[1:]:
+        m = drv.step_chunk(ch)
+    jax.block_until_ready((drv.states, m))
     dt = time.time() - t0
-    agg_fps = batch * (n_frames - 1) / dt
-    n_running = int((np.asarray(m.status) == 1).sum())
+    agg_fps = batch * (n_frames - T) / dt
+    n_running = int((np.asarray(drv.states.status) == 1).sum())
     print(f"{n_running}/{batch} scans running at end", file=sys.stderr)
     print(json.dumps({
         "metric": "multiscan_frames_per_sec",

@@ -26,6 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from ..geometry.rotations import exp_so3
+from ..geometry.smallinv import inv6x6
 from .residuals import (Observations, residuals_and_jacobians, huber_weights,
                         apply_pose_update, bmv_small)
 
@@ -355,7 +356,7 @@ def run_ba_cg(K, rvec, tvec, xyz, obs: Observations, *,
 
         zg = bmv_small(Vinv, g_lm)
         rhs = g_cam - w_z(zg)
-        M_inv = jnp.linalg.inv(Ud + 1e-6 * jnp.eye(6))
+        M_inv = inv6x6(Ud + 1e-6 * jnp.eye(6))
 
         def precond(v):
             return jnp.einsum("cab,cb->ca", M_inv, v)

@@ -28,6 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from ..geometry.rotations import exp_so3
+from ..geometry.smallinv import inv6x6
 from .residuals import Observations, residuals_and_jacobians, huber_weights, \
     apply_pose_update, bmv_small
 from .core import BAStats, inv3_sym, _damp
@@ -80,6 +81,52 @@ def build_tables(obs: Observations, n_cams: int, n_lms: int,
     return ObsTables(jnp.asarray(lm_cam), jnp.asarray(lm_uv),
                      jnp.asarray(lm_w), jnp.asarray(cam_lm),
                      jnp.asarray(cam_uv), jnp.asarray(cam_w))
+
+
+def build_tables_device(obs: Observations, n_cams: int, n_lms: int,
+                        nmax: int, kmax: int) -> ObsTables:
+    """Jittable dual-table construction from the COO observation list —
+    the device-side replacement for ``build_tables``'s host loop, usable
+    per-keyframe inside the engine (VERDICT: ba/large.py:58-79 was
+    host-only).
+
+    Slot assignment: sort-by-index + rank-within-run (searchsorted), so
+    each live observation gets a dense per-landmark / per-camera slot.
+    An observation overflowing EITHER table is dropped from BOTH (its
+    slots are left as zero-weight holes — harmless padding, exactly like
+    table tail padding).  Under overflow the dropped SET can differ from
+    the host builder's sequential choice; without overflow the tables
+    hold identical observation multisets."""
+    O = obs.cam_idx.shape[0]
+    live = obs.w > 0
+
+    def slots(idx, n):
+        key = jnp.where(live, idx, n).astype(jnp.int32)
+        order = jnp.argsort(key, stable=True)
+        s = key[order]
+        start = jnp.searchsorted(s, s, side="left")
+        slot = (jnp.arange(O) - start).astype(jnp.int32)
+        return jnp.zeros(O, jnp.int32).at[order].set(slot)
+
+    slot_l = slots(obs.lm_idx, n_lms)
+    slot_c = slots(obs.cam_idx, n_cams)
+    keep = live & (slot_l < kmax) & (slot_c < nmax)
+    l_idx = jnp.where(keep, obs.lm_idx, n_lms)
+    c_idx = jnp.where(keep, obs.cam_idx, n_cams)
+
+    lm_cam = jnp.zeros((n_lms, kmax), jnp.int32).at[l_idx, slot_l].set(
+        obs.cam_idx, mode="drop")
+    lm_uv = jnp.zeros((n_lms, kmax, 2), jnp.float32).at[l_idx, slot_l].set(
+        obs.uv, mode="drop")
+    lm_w = jnp.zeros((n_lms, kmax), jnp.float32).at[l_idx, slot_l].set(
+        obs.w, mode="drop")
+    cam_lm = jnp.zeros((n_cams, nmax), jnp.int32).at[c_idx, slot_c].set(
+        obs.lm_idx, mode="drop")
+    cam_uv = jnp.zeros((n_cams, nmax, 2), jnp.float32).at[c_idx, slot_c].set(
+        obs.uv, mode="drop")
+    cam_w = jnp.zeros((n_cams, nmax), jnp.float32).at[c_idx, slot_c].set(
+        obs.w, mode="drop")
+    return ObsTables(lm_cam, lm_uv, lm_w, cam_lm, cam_uv, cam_w)
 
 
 def _onehot_f32(idx, n):
@@ -148,7 +195,8 @@ def run_large_ba(K, rvec, tvec, xyz, tables: ObsTables, *,
                  onehot_threshold: int = 4096,
                  pallas_matvec: bool = False, pallas_tile: int = 256,
                  pallas_precision: str = "bf16",
-                 pallas_interpret: bool = False
+                 pallas_interpret: bool = False,
+                 schur_plan=None
                  ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, BAStats]:
     """Implicit-Schur LM: outer damping loop, inner block-Jacobi PCG on the
     reduced camera system.  All reductions are table-axis sums.
@@ -165,6 +213,25 @@ def run_large_ba(K, rvec, tvec, xyz, tables: ObsTables, *,
     at 92 vs 128 ("bf16x3") vs 175 ("highest") ms/LM-iter."""
     C = rvec.shape[0]
     L = xyz.shape[0]
+
+    # camera-window plan (schur_pallas.SchurPlan): permute the landmark
+    # axis into camera-locality order so each Pallas tile touches a narrow
+    # camera window; inverted on exit.  Exact for any problem.
+    unpermute = None
+    if pallas_matvec and schur_plan is not None:
+        assert schur_plan.tile == pallas_tile, \
+            "SchurPlan tile must match pallas_tile"
+        perm = jnp.asarray(schur_plan.perm)
+        inv_perm = jnp.asarray(schur_plan.inv_perm)
+        tables = ObsTables(
+            lm_cam=tables.lm_cam[perm], lm_uv=tables.lm_uv[perm],
+            lm_w=tables.lm_w[perm],
+            cam_lm=inv_perm[tables.cam_lm],
+            cam_uv=tables.cam_uv, cam_w=tables.cam_w)
+        xyz = xyz[perm]
+        lm_free = lm_free[perm]
+        unpermute = lambda x: x[inv_perm]
+
     cam_free_f = cam_free.astype(jnp.float32)
     lm_free_f = lm_free.astype(jnp.float32)
     wT_x, w_z, needs_cam_major = make_coupling_ops(
@@ -204,9 +271,14 @@ def run_large_ba(K, rvec, tvec, xyz, tables: ObsTables, *,
 
         if pallas_matvec:
             from .schur_pallas import SchurOperator
+            plan_kw = {}
+            if schur_plan is not None:
+                plan_kw = dict(base=schur_plan.base,
+                               window=schur_plan.window,
+                               pad_width=schur_plan.pad_width)
             op = SchurOperator(W_l, tables.lm_cam, tile=pallas_tile,
                                precision=pallas_precision,
-                               interpret=pallas_interpret)
+                               interpret=pallas_interpret, **plan_kw)
             op.set_vinv(Vinv)
 
             def matvec(x):
@@ -227,7 +299,7 @@ def run_large_ba(K, rvec, tvec, xyz, tables: ObsTables, *,
 
         # block-Jacobi preconditioner: damped U block inverses
         Ud = _damp(U, lam)
-        M_inv = jnp.linalg.inv(Ud + 1e-6 * jnp.eye(6))
+        M_inv = inv6x6(Ud + 1e-6 * jnp.eye(6))
 
         def precond(v):
             return jnp.einsum("cab,cb->ca", M_inv, v)
@@ -287,6 +359,8 @@ def run_large_ba(K, rvec, tvec, xyz, tables: ObsTables, *,
         0, iterations, loop_body,
         (rvec, tvec, xyz, blocks0, cost0, jnp.asarray(lam0, jnp.float32),
          jnp.asarray(0, jnp.int32), jnp.asarray(False)))
+    if unpermute is not None:
+        xyz = unpermute(xyz)
     return rvec, tvec, xyz, BAStats(cost0, cost, lam, accepted)
 
 

@@ -225,14 +225,148 @@ def schur_scatter(cams_t, wt, z_t, *, kmax: int, n_cams_pad: int,
     )(cams_t, wt, z_t)
 
 
+def _fused_kernel(kmax: int, Cw: int, precision: str,
+                  base_ref, cams_ref, wt_ref, vinv_ref, g_ref, x_ref,
+                  z_ref, y_ref):
+    """One landmark tile of the full apply, reading wt ONCE:
+        t = g + W^T x[window]         (gather, local camera window)
+        z = Vinv t                    (written to z_ref)
+        y[window] += W z              (scatter)
+    base_ref (SMEM) holds the tile's 128-aligned camera-window offset;
+    cams_ref holds WINDOW-LOCAL camera indices (cam - base).  Padding
+    slots carry zero W blocks, so out-of-window locals (< 0 or >= Cw)
+    simply match no one-hot column and contribute nothing."""
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        y_ref[:] = jnp.zeros_like(y_ref)
+
+    ow = pl.multiple_of(base_ref[0, 0], LANE)
+    xw = x_ref[:, pl.ds(ow, Cw)]                             # [8, Cw]
+
+    def gbody(k, t):
+        ekT = _ekT(cams_ref, k, Cw, jnp.bfloat16)            # [Cw, TL]
+        xg = _onehot_dot(xw, ekT, precision, False)          # [8, TL]
+        w_k = wt_ref[0, :, pl.ds(k * 8, 8), :]               # [3, 8, TL]
+        return t + jnp.sum(w_k * xg[None, :, :], axis=1)     # [3, TL]
+
+    t = jax.lax.fori_loop(0, kmax, gbody, g_ref[0, 0:3, :])
+
+    zs = []
+    for a in range(3):
+        acc = vinv_ref[0, a * 3 + 0, :] * t[0]
+        acc = acc + vinv_ref[0, a * 3 + 1, :] * t[1]
+        acc = acc + vinv_ref[0, a * 3 + 2, :] * t[2]
+        z_ref[0, a, :] = acc
+        zs.append(acc)
+
+    def sbody(k, acc):
+        w_k = wt_ref[0, :, pl.ds(k * 8, 8), :]               # [3, 8, TL]
+        q = (w_k[0] * zs[0][None, :] + w_k[1] * zs[1][None, :]
+             + w_k[2] * zs[2][None, :])                      # [8, TL]
+        ekT = _ekT(cams_ref, k, Cw, jnp.bfloat16)
+        return acc + _onehot_dot(q, ekT, precision, True)    # [8, Cw]
+
+    acc = jax.lax.fori_loop(0, kmax, sbody,
+                            jnp.zeros((8, Cw), jnp.float32))
+    y_ref[:, pl.ds(ow, Cw)] += acc
+
+
+@functools.partial(jax.jit, static_argnames=("kmax", "window", "pad_width",
+                                             "precision", "interpret"))
+def schur_apply_fused(base_t, cams_t, wt, vinv_t, g_t, x, *, kmax: int,
+                      window: int, pad_width: int,
+                      precision: str = "bf16", interpret: bool = False):
+    """(z_t [nT, 8, TL], y [8, pad_width]): the full Schur coupling apply
+    in one kernel — wt is read from HBM once per apply instead of once per
+    direction.  Camera windows (see SchurPlan) shrink every one-hot dot
+    from [Cp, TL] to [window, TL]."""
+    nT, _, K8, TL = wt.shape
+    return pl.pallas_call(
+        functools.partial(_fused_kernel, kmax, window, precision),
+        grid=(nT,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM),
+        ] + _lm_specs(kmax, K8, TL) + [
+            pl.BlockSpec((1, 16, TL), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, TL), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, pad_width), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 8, TL), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, pad_width), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((nT, 8, TL), jnp.float32),
+                   jax.ShapeDtypeStruct((8, pad_width), jnp.float32)],
+        interpret=interpret,
+    )(base_t, cams_t, wt, vinv_t, g_t, x)
+
+
+class SchurPlan:
+    """Host-side camera-window plan for the fused kernel.
+
+    Landmarks in SfM have strong camera locality (a landmark is observed
+    by temporally nearby keyframes).  Sorting landmarks by their minimum
+    observing camera makes each landmark TILE touch a narrow camera range,
+    so the one-hot gather/scatter dots only need a [window, TL] operand
+    instead of [Cp, TL] — the MXU work drops by Cp/window.  ``window`` is
+    the max per-tile camera span over the sorted tiles (128-aligned), so
+    the windowed apply is EXACT for any problem; with no locality it
+    degrades gracefully to window == Cp (the unwindowed cost)."""
+
+    def __init__(self, lm_cam, lm_w, n_cams: int, tile: int = 256):
+        import numpy as np
+        lm_cam = np.asarray(lm_cam)
+        lm_w = np.asarray(lm_w)
+        L = lm_cam.shape[0]
+        live = lm_w > 0
+        INF = np.int64(1) << 40
+        mincam = np.where(live, lm_cam, INF).min(axis=1)
+        maxcam = np.where(live, lm_cam, -1).max(axis=1)
+        self.perm = np.argsort(mincam, kind="stable").astype(np.int32)
+        inv = np.zeros(L, np.int32)
+        inv[self.perm] = np.arange(L, dtype=np.int32)
+        self.inv_perm = inv
+        Lp = _round_up(L, tile)
+        nT = Lp // tile
+        mn_s = np.full(Lp, INF, np.int64)
+        mx_s = np.full(Lp, -1, np.int64)
+        mn_s[:L] = mincam[self.perm]
+        mx_s[:L] = maxcam[self.perm]
+        mn_t = mn_s.reshape(nT, tile).min(axis=1)
+        mx_t = mx_s.reshape(nT, tile).max(axis=1)
+        empty = mx_t < 0
+        mn_t = np.where(empty, 0, np.minimum(mn_t, n_cams))
+        mx_t = np.where(empty, 0, mx_t)
+        base = (mn_t // LANE) * LANE
+        span = mx_t - base + 1
+        self.window = int(_round_up(max(int(span.max()), 1), LANE))
+        self.base = base.astype(np.int32)
+        self.pad_width = int(_round_up(
+            max(int((base + self.window).max()), n_cams, LANE), LANE))
+        self.tile = tile
+        self.n_cams = n_cams
+
+
 class SchurOperator:
     """Per-linearization wrapper: packs W/cams once, then serves matvec /
-    rhs / back-substitution through the fused kernels.  All methods operate
-    on camera-major [C, 6] vectors like the plain-XLA solver."""
+    rhs / back-substitution through the fused windowed kernel.  All
+    methods operate on camera-major [C, 6] vectors like the plain-XLA
+    solver.  ``base``/``window``/``pad_width`` come from a SchurPlan
+    (with lm_cam/W/Vinv/g already permuted into plan order); without a
+    plan the single window spans all cameras."""
 
     def __init__(self, W_l: jnp.ndarray, lm_cam: jnp.ndarray, *,
                  tile: int = 256, precision: str = "bf16x3",
-                 interpret: bool = False):
+                 interpret: bool = False, base=None, window: int = None,
+                 pad_width: int = None):
         self.L, self.kmax = lm_cam.shape
         self.tile = tile
         self.precision = precision
@@ -243,7 +377,18 @@ class SchurOperator:
             W8.transpose(0, 3, 1, 2).reshape(self.L, -1), tile)
         self.nT = self.wt.shape[0]
         self.wt = self.wt.reshape(self.nT, 3, self.kmax * 8, tile)
-        self.cams_t = pack_lm_tiles(lm_cam, tile, pad_rows=8).astype(
+        if base is None:
+            base = jnp.zeros((self.nT,), jnp.int32)
+        base = jnp.asarray(base, jnp.int32)
+        self.base_t = base.reshape(self.nT, 1)
+        # window=None: a single window spanning all cameras (resolved at
+        # first use from the camera-vector length)
+        self.window = window
+        self.pad_width = pad_width
+        # window-LOCAL camera indices (invalid slots keep zero W blocks)
+        tile_of = jnp.arange(self.L, dtype=jnp.int32) // tile
+        lm_local = lm_cam - base[tile_of][:, None]
+        self.cams_t = pack_lm_tiles(lm_local, tile, pad_rows=8).astype(
             jnp.int32)
         self._zeros_g = jnp.zeros((self.nT, 8, tile), jnp.float32)
 
@@ -252,41 +397,44 @@ class SchurOperator:
         self.vinv_t = pack_lm_tiles(Vinv.reshape(self.L, 9), self.tile,
                                     pad_rows=16)
 
-    def _pad_x(self, x: jnp.ndarray) -> jnp.ndarray:
-        C = x.shape[0]
-        Cp = _round_up(max(C, LANE), LANE)
-        return jnp.pad(x, ((0, Cp - C), (0, 2))).T
+    def _dims(self, n_cams: int):
+        """(window, pad_width), defaulting to one all-camera window."""
+        full = _round_up(max(n_cams, LANE), LANE)
+        return (self.window or full, self.pad_width or full)
+
+    def _pad_x(self, x: jnp.ndarray, pad_width: int) -> jnp.ndarray:
+        return jnp.pad(x, ((0, pad_width - x.shape[0]), (0, 2))).T
 
     def _pack_g(self, g_lm: jnp.ndarray) -> jnp.ndarray:
         return pack_lm_tiles(g_lm, self.tile, pad_rows=8)
 
-    def _apply(self, g_t, x_pad):
-        z_t = schur_gather(self.cams_t, self.wt, self.vinv_t, g_t, x_pad,
-                           kmax=self.kmax, precision=self.precision,
-                           interpret=self.interpret)
-        y = schur_scatter(self.cams_t, self.wt, z_t, kmax=self.kmax,
-                          n_cams_pad=x_pad.shape[1],
-                          precision=self.precision,
-                          interpret=self.interpret)
+    def _apply(self, g_t, x_pad, window: int):
+        z_t, y = schur_apply_fused(
+            self.base_t, self.cams_t, self.wt, self.vinv_t, g_t, x_pad,
+            kmax=self.kmax, window=window, pad_width=x_pad.shape[1],
+            precision=self.precision, interpret=self.interpret)
         return y, z_t
 
     def w_vinv_wt_x(self, x: jnp.ndarray) -> jnp.ndarray:
         """y [C,6] = W Vinv W^T x  (the Schur coupling term of S x)."""
-        y, _ = self._apply(self._zeros_g, self._pad_x(x))
+        win, pw = self._dims(x.shape[0])
+        y, _ = self._apply(self._zeros_g, self._pad_x(x, pw), win)
         return y.T[:x.shape[0], :6]
 
     def w_vinv_g(self, g_lm: jnp.ndarray, n_cams: int) -> jnp.ndarray:
         """y [C,6] = W Vinv g_lm  (the rhs coupling term)."""
-        Cp = _round_up(max(n_cams, LANE), LANE)
+        win, pw = self._dims(n_cams)
         y, _ = self._apply(self._pack_g(g_lm),
-                           jnp.zeros((8, Cp), jnp.float32))
+                           jnp.zeros((8, pw), jnp.float32), win)
         return y.T[:n_cams, :6]
 
     def back_substitute(self, g_lm: jnp.ndarray, d_cam: jnp.ndarray
                         ) -> jnp.ndarray:
         """d_lm [L,3] = Vinv (g_lm - W^T d_cam)."""
-        z_t = schur_gather(self.cams_t, self.wt, self.vinv_t,
-                           self._pack_g(g_lm), self._pad_x(-d_cam),
-                           kmax=self.kmax, precision=self.precision,
-                           interpret=self.interpret)
+        win, pw = self._dims(d_cam.shape[0])
+        z_t, _ = schur_apply_fused(
+            self.base_t, self.cams_t, self.wt, self.vinv_t,
+            self._pack_g(g_lm), self._pad_x(-d_cam, pw),
+            kmax=self.kmax, window=win, pad_width=pw,
+            precision=self.precision, interpret=self.interpret)
         return unpack_lm_tiles(z_t, self.L, 3)

@@ -124,8 +124,14 @@ class SfMConfig:
     # [6C, 6C] Schur complement exactly (run_ba; fastest up to ~64 KFs);
     # "cg" solves it with block-Jacobi PCG through per-observation tables
     # without the [C, L] coupling tensor (run_ba_cg; for large keyframe
-    # capacities where the dense complement no longer fits)
+    # capacities where the dense complement no longer fits); "large" builds
+    # dual observation tables on device and runs the implicit-Schur PCG
+    # solver (run_large_ba) — the 500+-keyframe operating point
     ba_solver: str = "dense"
+    ba_kmax: int = 16                  # "large": observations kept per
+                                       # landmark in the dual tables
+    use_pallas_ba: bool = False        # "large": fused Pallas Schur matvec
+                                       # (TPU only; XLA one-hot path off)
     ba_cg_iterations: int = 15         # PCG iterations per LM step ("cg")
     # compact the landmark axis before the mapping-pass BA: only live
     # landmarks enter the normal equations, over a dense axis of this
@@ -140,8 +146,21 @@ class SfMConfig:
     # either way; fixed older poses anchor the gauge like ORB-SLAM's local
     # BA.
     ba_local_window: int = 0
+    # periodic GLOBAL BA (all poses + structure free, implicit-Schur large
+    # solver with a host-built camera-window plan), run by the host driver
+    # every N keyframe insertions (0 = off).  The windowed-local +
+    # periodic-global schedule is how the engine reaches the 500-keyframe
+    # operating point the reference handled by running all-keyframe BA
+    # inline (CSfM.cpp:250-259) — unaffordable at 10x its map size.
+    global_ba_every: int = 0
+    global_ba_iterations: int = 10
+    global_ba_cg_iterations: int = 25
 
     # ---- scan guidance (ref: CScanGuidance.cpp:11-21) ----
+    # guidance runs inside the jitted step on every RUNNING frame when the
+    # engine is fed RGB frames (the reference's placement, CSfM.cpp:80-81);
+    # grayscale input skips it (no H-S histogram without color)
+    guidance_enabled: bool = True
     guidance_downscale: int = 4
     guidance_hist_bins_h: int = 60
     guidance_hist_bins_s: int = 50

@@ -227,7 +227,22 @@ def mapping_pass(cfg: SfMConfig, cam: CameraParams, state: SfMState,
         ba_xyz, ba_lm_free, ba_obs, inv = compact_ba_problem(
             lms.xyz, lms.valid, obs, cfg.ba_landmark_capacity)
 
-    if cfg.ba_solver == "cg":
+    if cfg.ba_solver == "large":
+        # device-built dual tables + implicit-Schur PCG: the mapping-pass
+        # BA at 500+-keyframe capacities (VERDICT item 4)
+        from ..ba.large import build_tables_device, run_large_ba
+        tables = build_tables_device(
+            ba_obs, cfg.max_keyframes, ba_xyz.shape[0],
+            nmax=cfg.max_keypoints, kmax=cfg.ba_kmax)
+        rv, tv, xyz, stats = run_large_ba(
+            cam.Kopt, kfs.frames.rvec, kfs.frames.tvec, ba_xyz, tables,
+            cam_free=cam_free, lm_free=ba_lm_free,
+            iterations=cfg.ba_iterations,
+            cg_iterations=cfg.ba_cg_iterations,
+            lam0=cfg.ba_lambda_init, lam_up=cfg.ba_lambda_up,
+            lam_down=cfg.ba_lambda_down, huber_delta=cfg.ba_huber_delta,
+            tol=cfg.ba_tol, pallas_matvec=cfg.use_pallas_ba)
+    elif cfg.ba_solver == "cg":
         rv, tv, xyz, stats = run_ba_cg(
             cam.Kopt, kfs.frames.rvec, kfs.frames.tvec, ba_xyz, ba_obs,
             cam_free=cam_free, lm_free=ba_lm_free,

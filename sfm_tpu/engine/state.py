@@ -53,6 +53,9 @@ class SfMState(NamedTuple):
     prev_image: jnp.ndarray        # [H, W] grey image of ``prev`` when
                                    # cfg.track_with_flow (else [1, 1] dummy);
                                    # LK tracks from it into the current frame
+    guidance: "GuidanceState"      # scan-guidance EMA state (runs in the
+                                   # RUNNING branch on RGB input, matching
+                                   # CSfM.cpp:80-81's placement)
 
 
 class StepMetrics(NamedTuple):
@@ -69,6 +72,11 @@ class StepMetrics(NamedTuple):
     mean_reproj_err: jnp.ndarray
     rvec: jnp.ndarray
     tvec: jnp.ndarray
+    # scan guidance (zeros when the engine runs grayscale-only)
+    guid_centroid: jnp.ndarray     # [3] object centroid (world)
+    guid_bbox_center: jnp.ndarray  # [2] oriented-bbox center (full-res px)
+    guid_bbox_axes: jnp.ndarray    # [2, 2] principal axes (rows)
+    guid_bbox_extent: jnp.ndarray  # [2] half-extents along the axes (px)
 
 
 def zero_metrics() -> StepMetrics:
@@ -78,7 +86,11 @@ def zero_metrics() -> StepMetrics:
                        keyframe_added=jnp.asarray(False),
                        mean_reproj_err=jnp.asarray(0.0, jnp.float32),
                        rvec=jnp.zeros(3, jnp.float32),
-                       tvec=jnp.zeros(3, jnp.float32))
+                       tvec=jnp.zeros(3, jnp.float32),
+                       guid_centroid=jnp.zeros(3, jnp.float32),
+                       guid_bbox_center=jnp.zeros(2, jnp.float32),
+                       guid_bbox_axes=jnp.zeros((2, 2), jnp.float32),
+                       guid_bbox_extent=jnp.zeros(2, jnp.float32))
 
 
 def init_state(cfg: SfMConfig) -> SfMState:
@@ -98,17 +110,36 @@ def init_state(cfg: SfMConfig) -> SfMState:
         pending_map_slot=jnp.asarray(-1, jnp.int32),
         prev_image=jnp.zeros(cfg.image_size if cfg.track_with_flow else (1, 1),
                              jnp.float32),
+        guidance=_init_guidance(cfg),
     )
+
+
+def _init_guidance(cfg: SfMConfig):
+    from ..guidance import init_guidance
+    return init_guidance(cfg)
+
+
+def to_gray(image: jnp.ndarray) -> jnp.ndarray:
+    """[H, W, 3] RGB -> [H, W] luma (CFrame::setFrame's cvtColor,
+    CFrame.cpp:145); grayscale input passes through."""
+    if image.ndim == 3:
+        return (0.299 * image[..., 0] + 0.587 * image[..., 1]
+                + 0.114 * image[..., 2])
+    return image
 
 
 def make_frame(cfg: SfMConfig, cam: CameraParams, image: jnp.ndarray,
                frame_no: jnp.ndarray) -> Frame:
     """CFrame::setFrame + setKeyPoints equivalent: detect, describe, and
-    undistort all points into the Kopt pinhole model (CFrame.cpp:156-227)."""
+    undistort all points into the Kopt pinhole model (CFrame.cpp:156-227).
+    ``image`` is [H, W] grey or [H, W, 3] RGB — the RGB path keeps real
+    landmark colors (fixing the reference's never-filled colour output,
+    CSfM.cpp:798-800) and feeds scan guidance."""
     from ..features.descriptor import describe_canvas
     compute_dtype = (jnp.bfloat16 if cfg.feature_dtype == "bfloat16"
                      else None)
-    kps, canvas = detect(image, max_keypoints=cfg.max_keypoints,
+    grey = to_gray(image)
+    kps, canvas = detect(grey, max_keypoints=cfg.max_keypoints,
                          levels=cfg.pyramid_levels,
                          threshold=cfg.fast_threshold,
                          nms_radius=cfg.nms_radius,
@@ -118,12 +149,14 @@ def make_frame(cfg: SfMConfig, cam: CameraParams, image: jnp.ndarray,
                            cfg.image_width, cfg.desc_bits,
                            compute_dtype=compute_dtype)
     xy_und = undistort_pixels(cam.K, cam.d, cam.Kopt, kps.xy)
-    # sample intensity at the keypoint for landmark coloring (grayscale
-    # replicated; the color path feeds real RGB when available)
+    # landmark coloring: real RGB when available, grayscale replicated
+    # otherwise
     xi = jnp.clip(kps.xy[:, 0].astype(jnp.int32), 0, cfg.image_width - 1)
     yi = jnp.clip(kps.xy[:, 1].astype(jnp.int32), 0, cfg.image_height - 1)
-    intensity = image[yi, xi]
-    color = jnp.stack([intensity] * 3, axis=-1)
+    if image.ndim == 3:
+        color = image[yi, xi]
+    else:
+        color = jnp.stack([image[yi, xi]] * 3, axis=-1)
     return Frame(
         xy=xy_und,
         xy_dist=kps.xy,

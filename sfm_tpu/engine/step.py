@@ -21,7 +21,7 @@ import jax.numpy as jnp
 from ..config import SfMConfig
 from ..geometry.camera import optimal_new_camera_matrix
 from .state import (SfMState, StepMetrics, CameraParams, init_state,
-                    make_frame, zero_metrics)
+                    make_frame, zero_metrics, to_gray)
 from .bootstrap import bootstrap_step
 from .tracking import tracking_step
 from .mapping import mapping_pass
@@ -74,8 +74,39 @@ def build_step(cfg: SfMConfig, cam: CameraParams, defer_mapping: bool = False,
             # branch adopted this frame as ``prev`` iff the frame numbers
             # match (bootstrap ref advance, tracking swap, reloc recovery)
             took = state.prev.frame_no == frame.frame_no
+            grey = to_gray(image)
             state = state._replace(
-                prev_image=jnp.where(took, image, state.prev_image))
+                prev_image=jnp.where(took, grey, state.prev_image))
+        if image.ndim == 3 and cfg.guidance_enabled and \
+                not fleet_tracking_only:
+            # scan guidance on every RUNNING frame, matching the
+            # reference's placement in addFrame (CSfM.cpp:80-81)
+            from ..guidance import update_guidance
+
+            def run_guid(st):
+                gs, out = update_guidance(
+                    cfg, st.guidance, image, st.lms.xyz, st.lms.valid,
+                    cam.Kopt, st.prev.rvec, st.prev.tvec)
+                return st._replace(guidance=gs), out
+
+            def skip_guid(st):
+                from ..guidance import GuidanceOutput
+                H, W = cfg.image_size
+                ds = cfg.guidance_downscale
+                return st, GuidanceOutput(
+                    centroid=jnp.zeros(3, jnp.float32),
+                    bbox_center=jnp.zeros(2, jnp.float32),
+                    bbox_axes=jnp.zeros((2, 2), jnp.float32),
+                    bbox_extent=jnp.zeros(2, jnp.float32),
+                    mask=jnp.zeros((H // ds, W // ds), jnp.float32))
+
+            state, gout = jax.lax.cond(state.status == 1, run_guid,
+                                       skip_guid, state)
+            metrics = metrics._replace(
+                guid_centroid=gout.centroid,
+                guid_bbox_center=gout.bbox_center,
+                guid_bbox_axes=gout.bbox_axes,
+                guid_bbox_extent=gout.bbox_extent)
         state = state._replace(frame_count=state.frame_count + 1)
         return state, metrics
 
@@ -119,31 +150,58 @@ class SfMEngine:
         self._chunk_step = None  # compiled lazily on first add_frames
         self.state = init_state(cfg)
         self.metrics_log = []
+        self._kfs_since_global_ba = 0
+
+    def _maybe_global_ba(self, n_new_keyframes: int) -> None:
+        """Periodic global BA (cfg.global_ba_every keyframes) — the host-
+        driven schedule that replaces the reference's inline all-keyframe
+        BA (CSfM.cpp:250-259) at 500+-KF scale."""
+        if self.config.global_ba_every <= 0:
+            return
+        self._kfs_since_global_ba += n_new_keyframes
+        if self._kfs_since_global_ba >= self.config.global_ba_every:
+            self.global_ba()
+
+    def global_ba(self) -> dict:
+        """Run global BA on the current map now; returns solver stats."""
+        from .global_ba import run_global_ba
+        self.state, stats = run_global_ba(self.config, self.cam, self.state)
+        self._kfs_since_global_ba = 0
+        return {k: np.asarray(v) for k, v in stats._asdict().items()}
 
     def add_frame(self, image) -> dict:
-        """Process one frame (CSfM::addFrame).  image: [H, W] grey uint8 or
-        float.  Returns the per-frame metrics dict."""
+        """Process one frame (CSfM::addFrame).  image: [H, W] grey or
+        [H, W, 3] RGB, uint8 or float.  RGB frames keep real landmark
+        colors and drive scan guidance inside the step (when
+        cfg.guidance_enabled).  Returns the per-frame metrics dict."""
         img = jnp.asarray(np.asarray(image, np.float32))
-        if img.ndim == 3:
-            img = 0.114 * img[..., 0] + 0.587 * img[..., 1] + 0.299 * img[..., 2]
+        if img.ndim == 3 and not self.config.guidance_enabled:
+            img = 0.299 * img[..., 0] + 0.587 * img[..., 1] \
+                + 0.114 * img[..., 2]
         self.state, metrics = self._step(self.state, img)
         m = {k: np.asarray(v) for k, v in metrics._asdict().items()}
         self.metrics_log.append(m)
+        self._maybe_global_ba(int(m["keyframe_added"]))
         return m
 
     def add_frames(self, images) -> list:
         """Process a chunk of frames in one device call (throughput mode).
-        images: [T, H, W].  Returns the list of per-frame metric dicts."""
+        images: [T, H, W] grey or [T, H, W, 3] RGB.  Returns the list of
+        per-frame metric dicts."""
         if self._chunk_step is None:
             self._chunk_step = jax.jit(
                 build_video_step(self.config, self.cam), donate_argnums=(0,))
         imgs = jnp.asarray(np.asarray(images, np.float32))
+        if imgs.ndim == 4 and not self.config.guidance_enabled:
+            imgs = 0.299 * imgs[..., 0] + 0.587 * imgs[..., 1] \
+                + 0.114 * imgs[..., 2]
         self.state, metrics = self._chunk_step(self.state, imgs)
         out = []
         stacked = {k: np.asarray(v) for k, v in metrics._asdict().items()}
         for i in range(imgs.shape[0]):
             out.append({k: v[i] for k, v in stacked.items()})
         self.metrics_log.extend(out)
+        self._maybe_global_ba(int(stacked["keyframe_added"].sum()))
         return out
 
     def get_reconstruction(self) -> Tuple[np.ndarray, np.ndarray]:

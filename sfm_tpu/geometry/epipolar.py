@@ -17,6 +17,7 @@ import jax.numpy as jnp
 
 from .rotations import exp_so3
 from .camera import depths
+from .smallinv import inv3x3
 
 
 def essential_from_poses(rvec0, tvec0, rvec1, tvec1):
@@ -39,8 +40,8 @@ def essential_from_poses(rvec0, tvec0, rvec1, tvec1):
 def fundamental_from_poses(K0, rvec0, tvec0, K1, rvec1, tvec1):
     """F = K1^-T E K0^-1 (GeometryUtils::calculateFundamentalMatrix)."""
     E = essential_from_poses(rvec0, tvec0, rvec1, tvec1)
-    K0inv = jnp.linalg.inv(K0)
-    K1inv = jnp.linalg.inv(K1)
+    K0inv = inv3x3(K0)
+    K1inv = inv3x3(K1)
     return K1inv.T @ E @ K0inv
 
 
@@ -85,7 +86,7 @@ def homography_transfer_error_sq(H, uv0, uv1):
     """Squared symmetric transfer errors under homography H (x1 ~ H x0).
 
     Returns (e_fwd, e_bwd): |x1 - H x0|^2 and |x0 - H^-1 x1|^2."""
-    Hinv = jnp.linalg.inv(H)
+    Hinv = inv3x3(H)
     x0 = _homog(uv0)
     x1 = _homog(uv1)
     p1 = x0 @ H.T

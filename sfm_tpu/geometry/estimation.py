@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+from .smallinv import inv3x3
 
 
 def _normalize_points(uv: jnp.ndarray, w: jnp.ndarray):
@@ -54,7 +55,7 @@ def estimate_homography(uv0: jnp.ndarray, uv1: jnp.ndarray,
     A = jnp.concatenate([r1 * wf[:, None], r2 * wf[:, None]], axis=0)
     h = _smallest_eigvec(A.T @ A)
     Hn = h.reshape(3, 3)
-    H = jnp.linalg.inv(T1) @ Hn @ T0
+    H = inv3x3(T1) @ Hn @ T0
     scale = jnp.where(jnp.abs(H[2, 2]) > 1e-8, H[2, 2], 1.0)
     return H / scale
 

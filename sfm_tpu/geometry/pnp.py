@@ -17,6 +17,7 @@ import jax.numpy as jnp
 
 from .rotations import log_so3
 from .camera import project
+from .smallinv import inv3x3, solve6
 
 
 def pnp_dlt(K: jnp.ndarray, xyz: jnp.ndarray, uv: jnp.ndarray,
@@ -26,7 +27,7 @@ def pnp_dlt(K: jnp.ndarray, xyz: jnp.ndarray, uv: jnp.ndarray,
     Works in normalized camera coords (K removed) for conditioning.
     Returns (rvec, tvec).  Needs >= 6 effective points, non-coplanar."""
     wf = w.astype(xyz.dtype)
-    Kinv = jnp.linalg.inv(K)
+    Kinv = inv3x3(K)
     ones = jnp.ones((uv.shape[0], 1), uv.dtype)
     xn = (jnp.concatenate([uv, ones], axis=1) @ Kinv.T)[:, :2]
     # normalize 3D points: center + scale (Hartley-style) for fp32
@@ -140,7 +141,7 @@ def p3p(K: jnp.ndarray, xyz3: jnp.ndarray, uv3: jnp.ndarray):
     al., "Review and analysis of solutions of the three point perspective
     pose estimation problem"): quartic in the distance ratio v = s3/s1,
     Newton-polished, then 3-point Kabsch for the rigid transform."""
-    Kinv = jnp.linalg.inv(K)
+    Kinv = inv3x3(K)
     ones = jnp.ones((3, 1), uv3.dtype)
     f = jnp.concatenate([uv3, ones], axis=1) @ Kinv.T
     f = f / jnp.linalg.norm(f, axis=1, keepdims=True)   # bearing vectors
@@ -257,7 +258,7 @@ def refine_pose(K: jnp.ndarray, rvec: jnp.ndarray, tvec: jnp.ndarray,
         H = jnp.einsum("oia,oib->ab", A, A)
         g = jnp.einsum("oia,oi->a", A, r)
         H = H + damping * jnp.diag(jnp.diag(H)) + 1e-9 * jnp.eye(6)
-        step = jnp.linalg.solve(H, g)
+        step = solve6(H, g)
         rv_new = _log(_exp(-step[:3]) @ _exp(rv))
         tv_new = tv - step[3:]
         new_cost = cost_of(rv_new, tv_new)

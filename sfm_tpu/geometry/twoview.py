@@ -16,6 +16,7 @@ import jax.numpy as jnp
 from .rotations import log_so3
 from .triangulate import triangulate_pair
 from .camera import apply_intrinsics
+from .smallinv import inv3x3
 
 
 def decompose_essential(E: jnp.ndarray):
@@ -39,7 +40,7 @@ def decompose_homography(H: jnp.ndarray, K0: jnp.ndarray, K1: jnp.ndarray):
 
     H maps pixels image0 -> image1; A = K1^-1 H K0 is the calibrated
     homography A ~ R + t n^T / d."""
-    A = jnp.linalg.inv(K1) @ H @ K0
+    A = inv3x3(K1) @ H @ K0
     U, D, Vt = jnp.linalg.svd(A)
     s = jnp.linalg.det(U) * jnp.linalg.det(Vt)
     d1, d2, d3 = D[0], D[1], D[2]

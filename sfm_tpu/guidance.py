@@ -102,11 +102,11 @@ def update_guidance(cfg: SfMConfig, state: GuidanceState,
     hh, ww = H // ds, W // ds
     nb_h, nb_s = cfg.guidance_hist_bins_h, cfg.guidance_hist_bins_s
 
-    # --- centroid (CScanGuidance.cpp:28-37) ---
+    # --- centroid: plain mean of the live map, recomputed every frame
+    # like the reference (CScanGuidance.cpp:27-36 — no EMA there) ---
     n = jnp.maximum(jnp.sum(lms_valid), 1)
-    mean = jnp.sum(jnp.where(lms_valid[:, None], lms_xyz, 0.0), axis=0) / n
-    centroid = jnp.where(state.initialized,
-                         0.5 * state.centroid + 0.5 * mean, mean)
+    centroid = jnp.sum(jnp.where(lms_valid[:, None], lms_xyz, 0.0),
+                       axis=0) / n
 
     # --- project landmarks, clamp to image (GeometryUtils w/ Size) ---
     uv = project(K, rvec, tvec, lms_xyz)
@@ -153,7 +153,6 @@ def update_guidance(cfg: SfMConfig, state: GuidanceState,
     axes = evecs.T[::-1]                       # major axis first
     pts = jnp.stack([xx - cx, yy - cy], -1)
     along = pts @ axes.T                       # [hh, ww, 2]
-    big = 1e9
     ext = jnp.stack([
         jnp.max(jnp.where(obj, jnp.abs(along[..., 0]), 0.0)),
         jnp.max(jnp.where(obj, jnp.abs(along[..., 1]), 0.0))])

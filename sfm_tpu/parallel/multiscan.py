@@ -70,10 +70,10 @@ class MultiScanDriver:
         self.cfg = cfg
         self.batch = batch
         self.bucket = bucket
-        self._track_step = jax.jit(
-            jax.vmap(build_step(cfg, cam, defer_mapping=True,
-                                fleet_tracking_only=True)),
-            donate_argnums=(0,))
+        track_step = build_step(cfg, cam, defer_mapping=True,
+                                fleet_tracking_only=True)
+        self._track_step = jax.jit(jax.vmap(track_step),
+                                   donate_argnums=(0,))
         full_step = build_step(cfg, cam, defer_mapping=True)
 
         def full_bucket(states, idx, images):
@@ -100,6 +100,34 @@ class MultiScanDriver:
                 lambda full, new: full.at[idx].set(new), states, sub)
 
         self._map_bucket = jax.jit(map_bucket, donate_argnums=(0,))
+        # map-all: when most scans have a pending pass, one vmapped call
+        # over the whole fleet beats many buckets (under vmap the cond is a
+        # select, so a bucket of 8 costs the same per dispatch as all B)
+        self._map_all = jax.jit(jax.vmap(map_one), donate_argnums=(0,))
+
+        # chunked fleet stepping (the throughput mode): one device call
+        # runs T frames of the vmapped tracking-only step via lax.scan —
+        # no per-frame host dispatch or sync
+        def track_chunk(states, images):          # images [T, B, H, W]
+            def body(st, img):
+                return jax.vmap(track_step)(st, img)
+            return jax.lax.scan(body, states, images)
+
+        self._track_chunk = jax.jit(track_chunk, donate_argnums=(0,))
+
+        # chunked full-step bucket: non-RUNNING scans (bootstrap / reloc)
+        # re-step through all T frames of the chunk in one call
+        def full_chunk(states, idx, images):      # images [T, B, H, W]
+            sub = jax.tree.map(lambda x: x[idx], states)
+
+            def body(st, img):
+                return jax.vmap(full_step)(st, img)
+
+            sub, _ = jax.lax.scan(body, sub, images[:, idx])
+            return jax.tree.map(
+                lambda full, new: full.at[idx].set(new), states, sub)
+
+        self._full_chunk = jax.jit(full_chunk, donate_argnums=(0,))
         self.states = init_batched_state(cfg, batch)
 
     def step(self, images) -> "StepMetrics":
@@ -115,10 +143,47 @@ class MultiScanDriver:
             self.states, _ = self._full_bucket(self.states,
                                                jnp.asarray(sel), images)
 
-        pending = np.asarray(self.states.pending_map_slot >= 0)
-        for sel in self._buckets(np.nonzero(pending)[0]):
-            self.states = self._map_bucket(self.states, jnp.asarray(sel))
+        self._dispatch_mapping()
         return metrics
+
+    def step_chunk(self, images) -> "StepMetrics":
+        """T frames for the whole fleet in ONE device call (the throughput
+        mode): images [T, B, H, W].  Per chunk the host does one [B] status
+        read, the chunked tracking call, bucketed full-step chunks for the
+        scans that were not RUNNING at chunk start (they no-op inside the
+        tracking chunk without consuming frames), and one mapping dispatch.
+
+        T must be <= cfg.keyframe_time_lag so a scan inserts at most one
+        keyframe per chunk (the deferred-mapping slot holds one entry).
+        A scan that goes LOST mid-chunk skips the remaining frames of that
+        chunk (real-time drop semantics; the reference blocks forever on
+        LOST, CSfM.cpp:536) and relocalizes from the next chunk on."""
+        T = images.shape[0]
+        assert T <= self.cfg.keyframe_time_lag, \
+            "chunk longer than the keyframe lag can overflow the pending slot"
+        status_before = np.asarray(self.states.status)
+        self.states, metrics = self._track_chunk(self.states, images)
+
+        not_running = status_before != 1
+        for sel in self._buckets(np.nonzero(not_running)[0]):
+            self.states = self._full_chunk(self.states, jnp.asarray(sel),
+                                           images)
+        self._dispatch_mapping()
+        return metrics
+
+    def _dispatch_mapping(self):
+        pending = np.asarray(self.states.pending_map_slot >= 0)
+        n = int(pending.sum())
+        if n == 0:
+            return
+        # under vmap every scan pays the selected-in mapping pass, so the
+        # cost of one dispatch is ~batch-proportional compute regardless of
+        # bucket size; buckets only pay off when few scans are pending
+        if n >= max(self.batch // 3, self.bucket):
+            self.states = self._map_all(self.states)
+        else:
+            for sel in self._buckets(np.nonzero(pending)[0]):
+                self.states = self._map_bucket(self.states, jnp.asarray(sel))
 
     def _buckets(self, idx):
         # pad by cycling the selection: duplicated entries gather the SAME

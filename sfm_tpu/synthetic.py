@@ -20,18 +20,22 @@ class SpriteScene:
             rng.uniform(-spread * 0.75, spread * 0.75, n_sprites),
             rng.uniform(depth[0], depth[1], n_sprites)], axis=1)
         self.textures = rng.uniform(40, 250, (n_sprites, tex_res, tex_res))
+        # per-sprite RGB tint for the color rendering path (distinct hues
+        # so guidance's H-S histogram has something to segment)
+        self.tints = rng.uniform(0.35, 1.0, (n_sprites, 3))
         self.size = sprite_size
         self.tex_res = tex_res
 
-    def render(self, K, rvec, tvec, h, w, dist=None):
+    def render(self, K, rvec, tvec, h, w, dist=None, rgb=False):
         """Render one frame: sprites are world-frontoparallel textured
         squares, painted far-to-near.  ``dist`` optionally applies the
         radial-tangential model (k1,k2,p1,p2,k3) to sprite centers so the
-        engine's undistortion path can be exercised end-to-end."""
+        engine's undistortion path can be exercised end-to-end.
+        ``rgb=True`` returns [h, w, 3] with per-sprite color tints."""
         R = rodrigues_np(np.asarray(rvec, np.float64))
         t = np.asarray(tvec, np.float64)
         cam = self.centers @ R.T + t
-        img = np.full((h, w), 25.0, np.float32)
+        img = np.full((h, w, 3) if rgb else (h, w), 25.0, np.float32)
         order = np.argsort(-cam[:, 2])  # far first
         fx, fy = K[0, 0], K[1, 1]
         for i in order:
@@ -61,7 +65,11 @@ class SpriteScene:
             tx = ((np.arange(cu0, cu1) - u0) * self.tex_res // max(u1 - u0, 1))
             ty = np.clip(ty, 0, self.tex_res - 1)
             tx = np.clip(tx, 0, self.tex_res - 1)
-            img[cv0:cv1, cu0:cu1] = tex[np.ix_(ty, tx)]
+            patch = tex[np.ix_(ty, tx)]
+            if rgb:
+                img[cv0:cv1, cu0:cu1] = patch[:, :, None] * self.tints[i]
+            else:
+                img[cv0:cv1, cu0:cu1] = patch
         return img
 
 

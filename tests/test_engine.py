@@ -181,3 +181,69 @@ class TestCompactedBA:
         ate = umeyama_ate(est_c, gt_c)
         extent = np.linalg.norm(gt_c[-1] - gt_c[0])
         assert ate < 0.08 * extent
+
+
+class TestLargeSolverEngine:
+    def test_scan_with_large_ba_and_global_ba(self):
+        """The 500-KF-scale configuration in miniature: mapping BA through
+        the device-table implicit-Schur solver (ba_solver="large") with a
+        local window, plus host-driven periodic global BA."""
+        cfg = SfMConfig(**{**TEST_CFG.__dict__,
+                           "ba_solver": "large", "ba_kmax": 6,
+                           "ba_cg_iterations": 12, "ba_local_window": 4,
+                           "global_ba_every": 3,
+                           "global_ba_iterations": 6,
+                           "global_ba_cg_iterations": 15})
+        rng = np.random.default_rng(3)
+        scene = SpriteScene(rng)
+        rvecs, tvecs = strafe_trajectory(30)
+        eng = SfMEngine(K, (240, 320), None, cfg)
+        metrics = [eng.add_frame(scene.render(K, rvecs[i], tvecs[i],
+                                              240, 320))
+                   for i in range(30)]
+        assert eng.status == RUNNING
+        assert int(metrics[-1]["n_keyframes"]) >= 4
+        # accuracy in the same band as the dense-solver scan
+        traj = eng.get_trajectory()
+        valid = np.asarray(eng.state.kfs.valid)
+        fns = np.sort(np.asarray(eng.state.kfs.frames.frame_no)[valid])
+        est_c = np.stack([-rodrigues_np(traj[i, :3]).T @ traj[i, 3:]
+                          for i in range(len(traj))])
+        gt_c = np.stack([-rodrigues_np(rvecs[f]).T @ tvecs[f] for f in fns])
+        ate = umeyama_ate(est_c, gt_c)
+        extent = np.linalg.norm(gt_c[-1] - gt_c[0])
+        assert ate < 0.08 * extent
+        # an explicit global BA call must not increase the BA cost
+        stats = eng.global_ba()
+        assert float(stats["final_cost"]) <= float(stats["initial_cost"])
+        assert eng.status == RUNNING
+
+
+class TestRGBGuidance:
+    def test_rgb_scan_colors_and_guidance(self):
+        """RGB input end-to-end: real landmark colors in the
+        reconstruction (the reference declares but never fills colour —
+        CSfM.cpp:798-800) and scan guidance running inside the jitted step
+        on every RUNNING frame (the reference's placement,
+        CSfM.cpp:80-81)."""
+        rng = np.random.default_rng(3)
+        scene = SpriteScene(rng)
+        rvecs, tvecs = strafe_trajectory(16)
+        eng = SfMEngine(K, (240, 320), None, TEST_CFG)
+        ms = [eng.add_frame(scene.render(K, rvecs[i], tvecs[i], 240, 320,
+                                         rgb=True))
+              for i in range(16)]
+        assert eng.status == RUNNING
+        pts, cols = eng.get_reconstruction()
+        assert len(pts) >= 40
+        # real colors: channels differ for a meaningful share of landmarks
+        spread = cols.astype(int).max(1) - cols.astype(int).min(1)
+        assert (spread > 10).mean() > 0.3
+        # guidance produced a bbox on the final RUNNING frame
+        m = ms[-1]
+        assert float(np.asarray(m["guid_bbox_extent"])[0]) > 5.0
+        cx, cy = np.asarray(m["guid_bbox_center"])
+        assert 0.0 <= cx <= 320.0 and 0.0 <= cy <= 240.0
+        assert np.isfinite(np.asarray(m["guid_centroid"])).all()
+        # guidance state advanced (histogram EMA accumulated)
+        assert float(np.asarray(eng.state.guidance.hist).sum()) > 0

@@ -88,3 +88,55 @@ class TestLargeBA:
             lm_free=jnp.ones(n_pts, bool), iterations=12, cg_iterations=30)
         assert float(stats.final_cost) < 1e-3 * float(stats.initial_cost)
         np.testing.assert_allclose(np.asarray(rv), np.stack(rvs), atol=2e-3)
+
+
+class TestDeviceTables:
+    def test_matches_host_builder(self, rng):
+        from sfm_tpu.ba.large import build_tables_device
+        K, rvec, tvec, X, obs = make_ba_scene(rng, n_cams=3, n_pts=20)
+        # knock out some observations (padding) like a real masked list
+        w = np.asarray(obs.w).copy()
+        w[rng.random(len(w)) < 0.2] = 0.0
+        obs = obs._replace(w=jnp.asarray(w))
+        th = build_tables(obs, 3, 20, nmax=32, kmax=8)
+        td = jax.jit(lambda o: build_tables_device(o, 3, 20, 32, 8))(obs)
+        # no overflow here: identical observation multisets per row
+        for name in ("lm", "cam"):
+            ch, uh, wh = (getattr(th, f"{name}_cam" if name == "lm"
+                                  else "cam_lm"),
+                          getattr(th, f"{name}_uv"),
+                          getattr(th, f"{name}_w"))
+            cd, ud, wd = (getattr(td, f"{name}_cam" if name == "lm"
+                                  else "cam_lm"),
+                          getattr(td, f"{name}_uv"),
+                          getattr(td, f"{name}_w"))
+            ch, uh, wh = np.asarray(ch), np.asarray(uh), np.asarray(wh)
+            cd, ud, wd = np.asarray(cd), np.asarray(ud), np.asarray(wd)
+            assert wh.sum() == wd.sum()
+            for row in range(ch.shape[0]):
+                live_h = wh[row] > 0
+                live_d = wd[row] > 0
+                a = sorted(map(tuple, np.concatenate(
+                    [ch[row][live_h, None], uh[row][live_h]], 1).tolist()))
+                b = sorted(map(tuple, np.concatenate(
+                    [cd[row][live_d, None], ud[row][live_d]], 1).tolist()))
+                assert a == b, f"{name} row {row} differs"
+
+    def test_overflow_consistent(self, rng):
+        from sfm_tpu.ba.large import build_tables_device
+        K, rvec, tvec, X, obs = make_ba_scene(rng, n_cams=4, n_pts=10)
+        t = build_tables_device(obs, 4, 10, nmax=16, kmax=2)  # kmax < 4
+        assert float(t.lm_w.sum()) == float(t.cam_w.sum())
+        assert float(t.lm_w.sum()) <= 10 * 2
+
+    def test_solver_runs_on_device_tables(self, rng):
+        from sfm_tpu.ba.large import build_tables_device
+        K, rvec, tvec, X, obs = make_ba_scene(rng, n_cams=4, n_pts=60)
+        tables = build_tables_device(obs, 4, 60, nmax=64, kmax=4)
+        rv0 = rvec.at[1:].add(0.01)
+        X0 = X + 0.03
+        rv, tv, Xf, stats = run_large_ba(
+            K, rv0, tvec, X0, tables,
+            cam_free=jnp.ones(4, bool).at[0].set(False),
+            lm_free=jnp.ones(60, bool), iterations=15, cg_iterations=40)
+        assert float(stats.final_cost) < 1e-2

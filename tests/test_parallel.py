@@ -148,6 +148,40 @@ class TestMultiScanDriver:
         # mapping ran: keyframes accumulated beyond the bootstrap pair
         assert np.asarray(m.n_keyframes).max() >= 3
 
+    def test_chunked_stepping(self, rng):
+        """step_chunk (the throughput mode: T frames per device call) must
+        bootstrap, track and map the fleet like per-frame stepping."""
+        import jax.numpy as jnp
+        from sfm_tpu.config import SfMConfig
+        from sfm_tpu.engine.state import CameraParams
+        from sfm_tpu.parallel.multiscan import MultiScanDriver
+        from render import SpriteScene, strafe_trajectory
+
+        cfg = SfMConfig(max_keypoints=96, max_keyframes=4, max_landmarks=256,
+                        image_height=120, image_width=160, pyramid_levels=2,
+                        ransac_hypotheses=32, pnp_hypotheses=16,
+                        ba_iterations=3, keyframe_min_tracked=10,
+                        keyframe_time_lag=4, min_init_matches=15,
+                        mapping_tri_keyframes=2, mapping_reobs_keyframes=2)
+        K = np.array([[130., 0, 80], [0, 130., 60], [0, 0, 1]], np.float32)
+        cam = CameraParams(K=jnp.asarray(K), d=jnp.zeros(5),
+                           Kopt=jnp.asarray(K))
+        B, T = 3, 4
+        drv = MultiScanDriver(cfg, cam, batch=B, bucket=2)
+        scenes = [SpriteScene(np.random.default_rng(20 + b), n_sprites=80)
+                  for b in range(B)]
+        rv, tv = strafe_trajectory(12, step=0.08)
+        for c in range(3):
+            imgs = np.stack([
+                np.stack([s.render(K, rv[c * T + i], tv[c * T + i], 120, 160)
+                          for s in scenes])
+                for i in range(T)])                     # [T, B, H, W]
+            m = drv.step_chunk(jnp.asarray(imgs))
+        status = np.asarray(drv.states.status)
+        assert (status == 1).sum() >= 2
+        assert (np.asarray(drv.states.pending_map_slot) == -1).all()
+        assert np.asarray(m.n_keyframes).max() >= 3
+
 
 class TestDistLargeBA:
     def test_parity_with_single_device_large(self, rng):

@@ -119,3 +119,59 @@ def test_run_large_ba_pallas_converges(rng):
         lm_free=lm_free, iterations=6, cg_iterations=10, tol=0.0,
         pallas_matvec=True, pallas_tile=16, pallas_interpret=True)
     assert float(stats_b.final_cost) < 1e-2 * float(stats_b.initial_cost)
+
+
+def test_schur_operator_windowed_parity(rng):
+    """Windowed plan (camera-locality sort) must be exact: same apply
+    results as the full-window operator, on a problem WITH locality."""
+    from sfm_tpu.ba.schur_pallas import SchurPlan
+    C, L, kmax = 23, 57, 3
+    base_cam = rng.integers(0, C - kmax + 1, L)
+    lm_cam = (base_cam[:, None] + np.arange(kmax)[None, :]).astype(np.int32)
+    W = rng.normal(0, 1, (L, kmax, 6, 3)).astype(np.float32)
+    lm_w = np.ones((L, kmax), np.float32)
+    dead = rng.random((L, kmax)) < 0.2
+    W[dead] = 0.0
+    Vs = rng.normal(0, 1, (L, 3, 3)).astype(np.float32)
+    Vinv = np.einsum("lab,lcb->lac", Vs, Vs) + np.eye(3, dtype=np.float32)
+    x = rng.normal(0, 1, (C, 6)).astype(np.float32)
+    g = rng.normal(0, 1, (L, 3)).astype(np.float32)
+    y_ref, _ = _reference(lm_cam, W, Vinv, x, np.zeros_like(g))
+
+    plan = SchurPlan(lm_cam, lm_w, C, tile=16)
+    p = plan.perm
+    op = SchurOperator(jnp.asarray(W[p]), jnp.asarray(lm_cam[p]), tile=16,
+                       interpret=True, base=plan.base, window=plan.window,
+                       pad_width=plan.pad_width)
+    op.set_vinv(jnp.asarray(Vinv[p]))
+    got = np.asarray(op.w_vinv_wt_x(jnp.asarray(x)))
+    np.testing.assert_allclose(got, y_ref, rtol=2e-4, atol=2e-4)
+    # back-substitution returns landmark-major (permuted) order
+    _, z_ref = _reference(lm_cam, W, Vinv, -x, g)
+    got_z = np.asarray(op.back_substitute(jnp.asarray(g[p]),
+                                          jnp.asarray(x)))
+    np.testing.assert_allclose(got_z, z_ref[p], rtol=2e-4, atol=2e-4)
+
+
+def test_run_large_ba_with_plan(rng):
+    """End-to-end: run_large_ba with a SchurPlan equals the no-plan
+    pallas path and converges (permutation round-trips xyz)."""
+    from sfm_tpu.ba.schur_pallas import SchurPlan
+    K, rv0, tv0, X0, tables, cam_free, lm_free = _tiny_ba_problem(rng)
+    plan = SchurPlan(tables.lm_cam, tables.lm_w, 5, tile=16)
+    assert plan.window <= plan.pad_width
+    rv, tv, X, stats = run_large_ba(
+        jnp.asarray(K), rv0, tv0, X0, tables, cam_free=cam_free,
+        lm_free=lm_free, iterations=6, cg_iterations=10, tol=0.0,
+        pallas_matvec=True, pallas_tile=16, pallas_precision="bf16x3",
+        pallas_interpret=True, schur_plan=plan)
+    assert float(stats.final_cost) < 1e-2 * float(stats.initial_cost)
+    rv2, tv2, X2, _ = run_large_ba(
+        jnp.asarray(K), rv0, tv0, X0, tables, cam_free=cam_free,
+        lm_free=lm_free, iterations=6, cg_iterations=10, tol=0.0,
+        pallas_matvec=True, pallas_tile=16, pallas_precision="bf16x3",
+        pallas_interpret=True)
+    np.testing.assert_allclose(np.asarray(tv), np.asarray(tv2),
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(X), np.asarray(X2),
+                               rtol=1e-2, atol=1e-2)

@@ -104,6 +104,11 @@ class SfMConfig:
     # reference commented out, CMap.h:94-95)
     mapping_tri_keyframes: int = 8
     mapping_reobs_keyframes: int = 16
+    # window selection: covisibility (shared-landmark overlap with the new
+    # keyframe, recency tiebreak — the graph the reference commented out,
+    # CMap.h:94-95) vs pure recency.  Covisibility reconnects revisited
+    # regions to the old map after loops.
+    mapping_use_covisibility: bool = True
 
     # ---- culling (ref: CMap.cpp:27-28, 384-404; CSfM.cpp:708-752) ----
     cull_min_views: int = 3            # landmark seen by < 3 KFs -> cull

@@ -47,6 +47,40 @@ def _recent_valid_slots(kfs, m: int):
     return slots, score[slots] >= 0
 
 
+def _covisible_slots(kfs, new_slot, m: int, n_landmarks: int):
+    """Indices of the m keyframes most covisible with ``new_slot`` (shared
+    landmark links, recency as tiebreak) + usability mask.
+
+    This is the covisibility graph the reference declared but commented
+    out (CMap.h:94-95), substituting "all keyframes" (CSfM.cpp:123-126).
+    Edge weight = one masked overlap count per keyframe: after a loop,
+    old keyframes observing the revisited region outrank recent ones, so
+    triangulation/re-observation reconnects to the old map — which a pure
+    recency window provably cannot (tests/test_covisibility.py)."""
+    fr = kfs.frames
+    L = n_landmarks
+    new_links = fr.landmark[new_slot]                       # [N]
+    seen = jnp.zeros((L,), bool).at[
+        jnp.where(new_links >= 0, new_links, L)].set(True, mode="drop")
+    linked = fr.landmark >= 0                               # [K, N]
+    overlap = jnp.sum(
+        linked & seen[jnp.clip(fr.landmark, 0, L - 1)], axis=1)  # [K]
+    # overlap-major, frame-no tiebreak; int32 bounds: overlap <= N <= 2^10,
+    # frame_no < 2^20 -> max score < 2^31
+    score = jnp.where(kfs.valid,
+                      overlap.astype(jnp.int32) * (1 << 20)
+                      + fr.frame_no.astype(jnp.int32),
+                      jnp.asarray(-1, jnp.int32))
+    _, slots = jax.lax.top_k(score, m)
+    return slots.astype(jnp.int32), score[slots] >= 0
+
+
+def _window_slots(cfg: SfMConfig, kfs, new_slot, m: int, n_landmarks: int):
+    if cfg.mapping_use_covisibility:
+        return _covisible_slots(kfs, new_slot, m, n_landmarks)
+    return _recent_valid_slots(kfs, m)
+
+
 def _triangulate_all_pairs(cfg: SfMConfig, cam: CameraParams,
                            state: SfMState, new_slot) -> SfMState:
     """Batched CSfM.cpp:130-185: match unmatched(new KF) vs unmatched(the
@@ -56,7 +90,7 @@ def _triangulate_all_pairs(cfg: SfMConfig, cam: CameraParams,
     fr = kfs.frames
     Kn, N = fr.landmark.shape
     M = min(cfg.mapping_tri_keyframes + 1, Kn)  # +1: window includes newest
-    slots, slot_ok = _recent_valid_slots(kfs, M)
+    slots, slot_ok = _window_slots(cfg, kfs, new_slot, M, lms.valid.shape[0])
     new_f = jax.tree.map(lambda x: x[new_slot], fr)
     tgt_valid = new_f.kp_valid & (new_f.landmark < 0)
     P_new = cam.Kopt @ projection_matrix(new_f.rvec, new_f.tvec)
@@ -121,11 +155,12 @@ def _triangulate_all_pairs(cfg: SfMConfig, cam: CameraParams,
     return state._replace(kfs=kfs, lms=lms)
 
 
-def _reobserve_all(cfg: SfMConfig, cam: CameraParams, state: SfMState
-                   ) -> SfMState:
-    """Batched re-observation over the recent keyframe window (chunked
-    vmap).  Older keyframes rarely see newly triangulated landmarks, so the
-    recency window loses little while bounding compute."""
+def _reobserve_all(cfg: SfMConfig, cam: CameraParams, state: SfMState,
+                   new_slot) -> SfMState:
+    """Batched re-observation over the covisible/recent keyframe window
+    (chunked vmap).  The window anchors on the new keyframe: the landmarks
+    just triangulated live around its view, so its covisible neighbors are
+    where re-observation pays."""
     kfs, lms = state.kfs, state.lms
     fr = kfs.frames
     Kn, N = fr.landmark.shape
@@ -133,7 +168,7 @@ def _reobserve_all(cfg: SfMConfig, cam: CameraParams, state: SfMState
     H, W = cfg.image_size
     rep = state.rep_desc
     R = min(cfg.mapping_reobs_keyframes, Kn)
-    slots, slot_ok = _recent_valid_slots(kfs, R)
+    slots, slot_ok = _window_slots(cfg, kfs, new_slot, R, L)
 
     def one(slot, ok_slot):
         f = jax.tree.map(lambda x: x[slot], fr)
@@ -187,7 +222,7 @@ def mapping_pass(cfg: SfMConfig, cam: CameraParams, state: SfMState,
     state = _triangulate_all_pairs(cfg, cam, state, new_slot)
 
     # 2. batched re-observation pass
-    state = _reobserve_all(cfg, cam, state)
+    state = _reobserve_all(cfg, cam, state, new_slot)
 
     # 3. landmark culling + link clearing (CSfM.cpp:237, 692-706)
     views = kf_view_counts(state.kfs, L)

@@ -232,7 +232,8 @@ def _fused_kernel(kmax: int, Cw: int, precision: str,
         t = g + W^T x[window]         (gather, local camera window)
         z = Vinv t                    (written to z_ref)
         y[window] += W z              (scatter)
-    base_ref (SMEM) holds the tile's 128-aligned camera-window offset;
+    base_ref (SMEM, full [nT, 1] array) holds each tile's 128-aligned
+    camera-window offset;
     cams_ref holds WINDOW-LOCAL camera indices (cam - base).  Padding
     slots carry zero W blocks, so out-of-window locals (< 0 or >= Cw)
     simply match no one-hot column and contribute nothing."""
@@ -242,7 +243,7 @@ def _fused_kernel(kmax: int, Cw: int, precision: str,
     def _():
         y_ref[:] = jnp.zeros_like(y_ref)
 
-    ow = pl.multiple_of(base_ref[0, 0], LANE)
+    ow = pl.multiple_of(base_ref[i, 0], LANE)
     xw = x_ref[:, pl.ds(ow, Cw)]                             # [8, Cw]
 
     def gbody(k, t):
@@ -287,7 +288,10 @@ def schur_apply_fused(base_t, cams_t, wt, vinv_t, g_t, x, *, kmax: int,
         functools.partial(_fused_kernel, kmax, window, precision),
         grid=(nT,),
         in_specs=[
-            pl.BlockSpec((1, 1), lambda i: (i, 0),
+            # whole [nT, 1] base array resident in SMEM (TPU lowering
+            # requires SMEM blocks to cover the array; indexed by
+            # program_id in-kernel)
+            pl.BlockSpec((nT, 1), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
         ] + _lm_specs(kmax, K8, TL) + [
             pl.BlockSpec((1, 16, TL), lambda i: (i, 0, 0),

@@ -15,6 +15,11 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+# persistent compile cache: the engine-step compiles dominate suite time;
+# cache keys include platform + HLO so CPU test artifacts are isolated
+# from the TPU cache by directory anyway
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_cpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
 
 import numpy as np
 import pytest

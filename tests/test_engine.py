@@ -247,3 +247,77 @@ class TestRGBGuidance:
         assert np.isfinite(np.asarray(m["guid_centroid"])).all()
         # guidance state advanced (histogram EMA accumulated)
         assert float(np.asarray(eng.state.guidance.hist).sum()) > 0
+
+
+class TestLongScanAccuracy:
+    """Tight CI accuracy gates at flagship scale (VERDICT items 3+8).
+
+    The 30-frame 240x320 toy scan above is chaotically seed-sensitive
+    (2-6% ATE), so the tight gate runs the flagship operating point
+    (480x640, 512 kp — the bench.py workload): measured 0.27-0.36% ATE
+    across seeds on CPU, gated at 1.5%.  The same scan also anchors the
+    engine's BA against the independent f64 reference solver."""
+
+    @pytest.fixture(scope="class")
+    def flagship_scan(self):
+        cfg = SfMConfig(max_keypoints=512, max_keyframes=32,
+                        max_landmarks=8192, image_height=480,
+                        image_width=640, pyramid_levels=4,
+                        feature_dtype="bfloat16",
+                        ba_landmark_capacity=2048, ba_huber_delta=2.0)
+        Kf = np.array([[525., 0, 320], [0, 525., 240], [0, 0, 1]],
+                      np.float32)
+        rng = np.random.default_rng(7)
+        scene = SpriteScene(rng, n_sprites=260, spread=2.4)
+        rvecs, tvecs = strafe_trajectory(48, step=0.06, yaw_rate=0.001)
+        eng = SfMEngine(Kf, (480, 640), None, cfg)
+        statuses = [int(eng.add_frame(
+            scene.render(Kf, rvecs[i], tvecs[i], 480, 640))["status"])
+            for i in range(48)]
+        return eng, np.array(statuses), rvecs, tvecs
+
+    def test_ate_gate(self, flagship_scan):
+        eng, statuses, rvecs, tvecs = flagship_scan
+        assert (statuses[3:] == RUNNING).mean() > 0.95
+        traj = eng.get_trajectory()
+        valid = np.asarray(eng.state.kfs.valid)
+        fns = np.sort(np.asarray(eng.state.kfs.frames.frame_no)[valid])
+        est_c = np.stack([-rodrigues_np(traj[i, :3]).T @ traj[i, 3:]
+                          for i in range(len(traj))])
+        gt_c = np.stack([-rodrigues_np(rvecs[f]).T @ tvecs[f] for f in fns])
+        ate = umeyama_ate(est_c, gt_c)
+        extent = np.linalg.norm(gt_c[-1] - gt_c[0])
+        assert ate < 0.015 * extent, f"ATE {100*ate/extent:.2f}% of extent"
+
+    def test_engine_ba_matches_f64_reference(self, flagship_scan):
+        """End-to-end accuracy anchor (BASELINE.json "ATE vs Ceres
+        baseline"): refining the engine's final map with the independent
+        f64 reference solver must barely move it — the engine's BA
+        already sits at the (robustified) optimum."""
+        from sfm_tpu.ba.core import observations_from_keyframes
+        from sfm_tpu.ba.reference import reference_ba_obs
+        eng, _, _, _ = flagship_scan
+        kfs, lms = eng.state.kfs, eng.state.lms
+        obs = observations_from_keyframes(kfs, lms.valid)
+        valid = np.asarray(kfs.valid)
+        fns = np.asarray(kfs.frames.frame_no)
+        oldest = int(np.argmin(np.where(valid, fns, 2**30)))
+        cam_free = valid.copy(); cam_free[oldest] = False
+        rv0 = np.asarray(kfs.frames.rvec)
+        tv0 = np.asarray(kfs.frames.tvec)
+        rv, tv, xyz, costs = reference_ba_obs(
+            np.asarray(eng.cam.Kopt), rv0, tv0, np.asarray(lms.xyz), obs,
+            cam_free=cam_free, lm_free=np.asarray(lms.valid),
+            iterations=15, huber_delta=2.0)
+        # cost at the engine solution vs after f64 refinement
+        assert costs[-1] > 0.90 * costs[0], \
+            f"f64 refinement cut cost {costs[0]:.1f} -> {costs[-1]:.1f}"
+        # camera centers barely move
+        def centers(rvs, tvs):
+            return np.stack([-rodrigues_np(rvs[i]).T @ tvs[i]
+                             for i in np.nonzero(valid)[0]])
+        c0, c1 = centers(rv0, tv0), centers(rv, tv)
+        extent = np.linalg.norm(c0[-1] - c0[0])
+        move = np.linalg.norm(c1 - c0, axis=1).max()
+        assert move < 0.01 * max(extent, 1e-9), \
+            f"reference moved a pose by {100*move/extent:.2f}% of extent"

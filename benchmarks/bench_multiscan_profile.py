@@ -1,10 +1,9 @@
-"""Multi-scan throughput benchmark (BASELINE.json config: "64 independent
-scans vmapped on one host").  Measures frames/s aggregated across the
-batch on however many devices are visible.
+"""Phase attribution for the 64-scan fleet driver: times the chunked
+tracking call, the bucketed full-step (bootstrap/reloc) chunks, and the
+mapping dispatch separately per chunk.
 
-Usage: python benchmarks/bench_multiscan.py [batch] [n_frames]"""
+Usage: python benchmarks/bench_multiscan_profile.py [batch] [n_frames]"""
 
-import json
 import os
 import sys
 import time
@@ -18,16 +17,12 @@ def main(batch=64, n_frames=48):
     import jax
     import jax.numpy as jnp
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
     from sfm_tpu.config import SfMConfig
     from sfm_tpu.engine.state import CameraParams
-    from sfm_tpu.parallel import init_batched_state, build_batched_step
     from sfm_tpu.synthetic import SpriteScene, strafe_trajectory
+    from sfm_tpu.parallel.multiscan import MultiScanDriver
+    from benchmarks.bench_multiscan import main as _  # noqa: F401  (unused)
 
-    # moderate per-scan budget so 64 states fit one chip comfortably.
-    # NOTE: under vmap, lax.cond branches become selects, so every scan
-    # pays the mapping branch every frame — keep mapping small here.
-    # (Bucketed host-side mapping dispatch is the planned fix.)
     cfg = SfMConfig(max_keypoints=256, max_keyframes=8, max_landmarks=2048,
                     image_height=240, image_width=320, pyramid_levels=3,
                     ransac_hypotheses=64, pnp_hypotheses=32,
@@ -40,20 +35,13 @@ def main(batch=64, n_frames=48):
     K = np.array([[250.0, 0, 160], [0, 250.0, 120], [0, 0, 1]], np.float32)
     cam = CameraParams(K=jnp.asarray(K), d=jnp.zeros(5), Kopt=jnp.asarray(K))
 
-    devs = np.array(jax.devices())
-
     rngs = [np.random.default_rng(100 + b) for b in range(batch)]
     scenes = [SpriteScene(r, n_sprites=120) for r in rngs]
-    # decorrelate scans: per-scan camera speeds spread keyframe-insertion
-    # events over time (as with real independent scans), which is what the
-    # bucketed mapping dispatch exploits
     trajs = [strafe_trajectory(n_frames, step=0.05 + 0.004 * (b % 8),
                                yaw_rate=0.001) for b in range(batch)]
 
-    from sfm_tpu.parallel.multiscan import MultiScanDriver
     drv = MultiScanDriver(cfg, cam, batch=batch, bucket=8)
-
-    T = cfg.keyframe_time_lag  # chunk length (max for one pending slot)
+    T = cfg.keyframe_time_lag
     n_frames -= n_frames % T
     print("rendering frames...", file=sys.stderr)
     all_chunks = [jnp.asarray(np.stack([np.stack(
@@ -62,23 +50,40 @@ def main(batch=64, n_frames=48):
         for i in range(T)])) for c in range(n_frames // T)]
     jax.block_until_ready(all_chunks)
 
-    # chunk 0: compile + bootstrap (untimed warmup)
-    m = drv.step_chunk(all_chunks[0])
+    m = drv.step_chunk(all_chunks[0])  # warmup/compile
     jax.block_until_ready(m)
-    t0 = time.time()
-    for ch in all_chunks[1:]:
-        m = drv.step_chunk(ch)
-    jax.block_until_ready((drv.states, m))
-    dt = time.time() - t0
-    agg_fps = batch * (n_frames - T) / dt
-    n_running = int((np.asarray(drv.states.status) == 1).sum())
-    print(f"{n_running}/{batch} scans running at end", file=sys.stderr)
-    print(json.dumps({
-        "metric": "multiscan_frames_per_sec",
-        "value": round(agg_fps, 1),
-        "unit": f"aggregate frames/s, {batch} scans x {len(devs)} device(s)",
-        "vs_baseline": round(agg_fps / 30.0, 2),
-    }))
+    # force-compile the map_all path too
+    drv._dispatch_mapping()
+
+    for ci, ch in enumerate(all_chunks[1:]):
+        t0 = time.time()
+        status_before = np.asarray(drv.states.status)
+        t_sync = time.time() - t0
+
+        t0 = time.time()
+        drv.states, metrics = drv._track_chunk(drv.states, ch)
+        jax.block_until_ready(metrics)
+        t_track = time.time() - t0
+
+        t0 = time.time()
+        not_running = status_before != 1
+        for sel in drv._buckets(np.nonzero(not_running)[0]):
+            drv.states = drv._full_chunk(drv.states, jnp.asarray(sel), ch)
+        jax.block_until_ready(drv.states.status)
+        t_full = time.time() - t0
+
+        t0 = time.time()
+        pending = int(np.asarray(drv.states.pending_map_slot >= 0).sum())
+        drv._dispatch_mapping()
+        jax.block_until_ready(drv.states.status)
+        t_map = time.time() - t0
+
+        tot = t_sync + t_track + t_full + t_map
+        print(f"chunk {ci+1}: sync {t_sync*1e3:6.1f}  track {t_track*1e3:7.1f}"
+              f"  full {t_full*1e3:6.1f} ({int(not_running.sum())} scans)"
+              f"  map {t_map*1e3:7.1f} ({pending} pending)"
+              f"  total {tot*1e3:7.1f} ms"
+              f"  -> {batch*T/tot:6.1f} agg fps", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -196,34 +196,71 @@ def describe(pyr: jnp.ndarray, kps: Keypoints, desc_bits: int = 512
     return _bits_from_patches(patches, desc_bits)
 
 
+def _patches_matmul(canvas_s: jnp.ndarray, cx: jnp.ndarray, cy: jnp.ndarray
+                    ) -> jnp.ndarray:
+    """Subpixel-centered patches [N, PATCH, PATCH] via two bilinear
+    selection matmuls (columns, then rows).
+
+    A vmapped per-keypoint dynamic_slice lowers to a SERIAL loop of tiny
+    [1, 34, 34] slices on TPU (53+ ms per fleet tracking chunk,
+    benchmarks/bench_fleet_trace.py); instead the patch window + fractional
+    lerp become TWO-nonzero selection operands feeding the MXU:
+        Z[n, c, h]       = sum_w canvas[h, w] * Cw[n, c, w]   (x-select+lerp)
+        patch[n, r, c]   = sum_h Rw[n, r, h] * Z[n, c, h]     (y-select+lerp)
+    The iota-compare operands fuse into the matmuls (same trick as the BA
+    one-hot coupling ops, ba/large._onehot_f32); columns first because the
+    canvas is wider than tall, minimizing the [N, PATCH, Hc] intermediate."""
+    Hc, Wc = canvas_s.shape
+    dt = canvas_s.dtype
+    N = cx.shape[0]
+    x0 = jnp.floor(cx).astype(jnp.int32) - PATCH_RADIUS
+    y0 = jnp.floor(cy).astype(jnp.int32) - PATCH_RADIUS
+    fx = (cx - jnp.floor(cx)).astype(dt)
+    fy = (cy - jnp.floor(cy)).astype(dt)
+    rr = jnp.arange(PATCH, dtype=jnp.int32)
+    ww = jnp.arange(Wc, dtype=jnp.int32)
+    hh = jnp.arange(Hc, dtype=jnp.int32)
+
+    xb = x0[:, None] + rr[None, :]                       # [N, PATCH]
+    Cw = ((ww[None, None, :] == xb[:, :, None]).astype(dt)
+          * (1.0 - fx)[:, None, None]
+          + (ww[None, None, :] == xb[:, :, None] + 1).astype(dt)
+          * fx[:, None, None])                           # [N, PATCH, Wc]
+    Z = jax.lax.dot_general(
+        Cw.reshape(N * PATCH, Wc), canvas_s,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32).reshape(N, PATCH, Hc)
+
+    yb = y0[:, None] + rr[None, :]                       # [N, PATCH]
+    Rw = ((hh[None, None, :] == yb[:, :, None]).astype(dt)
+          * (1.0 - fy)[:, None, None]
+          + (hh[None, None, :] == yb[:, :, None] + 1).astype(dt)
+          * fy[:, None, None])                           # [N, PATCH, Hc]
+    patches = jax.lax.dot_general(
+        Rw, Z.astype(dt),
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)              # [N, r, c]
+    return patches
+
+
 def describe_canvas(canvas: jnp.ndarray, kps: Keypoints, levels: int,
                     image_width: int, desc_bits: int = 512,
                     compute_dtype=None) -> jnp.ndarray:
     """Packed descriptors from the side-by-side pyramid canvas (see
-    detect.canvas_layout): ONE smoothing pass over the canvas, then one
-    2-D dynamic slice per keypoint at (y, x + column offset of its level).
+    detect.canvas_layout): ONE smoothing pass over the canvas, then
+    bilinear-selection matmuls extract every keypoint's subpixel patch.
     The detection border guarantees patches never cross a level band."""
     from .detect import canvas_layout
     H = canvas.shape[0]
     lay = canvas_layout(H, image_width, levels)
     assert lay.width == canvas.shape[1], "canvas/layout mismatch"
     canvas_s = smooth(canvas)
+    if compute_dtype is not None:
+        canvas_s = canvas_s.astype(compute_dtype)
     scale = jnp.exp2(kps.level.astype(jnp.float32))
     level_xy = (kps.xy - 0.5 * (scale[:, None] - 1.0)) / scale[:, None]
     offs = jnp.asarray(np.array(lay.offsets, np.int32))
     cx = level_xy[:, 0] + offs[kps.level].astype(jnp.float32)
     cy = level_xy[:, 1]
-
-    def one(cx, cy):
-        x0 = jnp.floor(cx).astype(jnp.int32) - PATCH_RADIUS
-        y0 = jnp.floor(cy).astype(jnp.int32) - PATCH_RADIUS
-        raw = jax.lax.dynamic_slice(canvas_s, (y0, x0),
-                                    (PATCH + 1, PATCH + 1))
-        fx = (cx - jnp.floor(cx)).astype(raw.dtype)
-        fy = (cy - jnp.floor(cy)).astype(raw.dtype)
-        top = (1 - fx) * raw[:-1, :-1] + fx * raw[:-1, 1:]
-        bot = (1 - fx) * raw[1:, :-1] + fx * raw[1:, 1:]
-        return (1 - fy) * top + fy * bot
-
-    patches = jax.vmap(one)(cx, cy).astype(jnp.float32)
+    patches = _patches_matmul(canvas_s, cx, cy).astype(jnp.float32)
     return _bits_from_patches(patches, desc_bits, compute_dtype)

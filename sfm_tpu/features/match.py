@@ -62,15 +62,21 @@ def match_features(
 
     ok = (best <= max_distance) & (best < ratio * second) & valid0
     # keep-best-per-target dedup: target j keeps only the lowest-distance
-    # winning source (a segment-min over the selected matches)
+    # winning source (a segment-min over the selected matches).  Formulated
+    # as masked column reductions over a [N, M] one-hot — scatter-min
+    # (.at[].min) serializes under the fleet's scan x keypoint vmap
+    # (2 x 10.7 ms per fleet tracking chunk, benchmarks/bench_fleet_trace)
     sel_dist = jnp.where(ok, best, _INF)
     M = Dm.shape[1]
-    per_target_best = jnp.full((M,), _INF).at[best_idx].min(sel_dist)
+    onehot = best_idx[:, None] == jnp.arange(M, dtype=jnp.int32)[None, :]
+    per_target_best = jnp.min(
+        jnp.where(onehot, sel_dist[:, None], _INF), axis=0)
     winner = sel_dist <= per_target_best[best_idx]
     # break exact ties deterministically: lowest source index wins
-    sel_src = jnp.where(ok, row_ids, Dm.shape[0])
-    tie_winner_src = jnp.full((M,), Dm.shape[0]).at[best_idx].min(
-        jnp.where(sel_dist <= per_target_best[best_idx], sel_src, Dm.shape[0]))
+    N = Dm.shape[0]
+    sel_src = jnp.where(winner & ok, row_ids, N)
+    tie_winner_src = jnp.min(
+        jnp.where(onehot, sel_src[:, None], N), axis=0)
     winner = winner & (row_ids == tie_winner_src[best_idx])
     ok = ok & winner
 

@@ -15,9 +15,10 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .rotations import log_so3
+from .rotations import log_so3, nearest_rotation
 from .camera import project
-from .smallinv import inv3x3, solve6
+from .poly import quartic_roots as _quartic_roots
+from .smallinv import inv3x3, min_eigvec, solve6
 
 
 def pnp_dlt(K: jnp.ndarray, xyz: jnp.ndarray, uv: jnp.ndarray,
@@ -48,21 +49,20 @@ def pnp_dlt(K: jnp.ndarray, xyz: jnp.ndarray, uv: jnp.ndarray,
     r2 = jnp.stack([zero, zero, zero, zero, X0, X1, X2, one,
                     -y * X0, -y * X1, -y * X2, -y], axis=-1)
     A = jnp.concatenate([r1 * wf[:, None], r2 * wf[:, None]], axis=0)
-    evals, V = jnp.linalg.eigh(A.T @ A)
-    p = V[:, 0]
+    # null vector of A^T A by closed-form blocked inverse iteration
+    # (jnp.linalg.eigh is an EighTpu custom call that serializes inside
+    # the vmapped RANSAC hypothesis batch — see smallinv.min_eigvec)
+    p = min_eigvec(A.T @ A)
     P = p.reshape(3, 4)
     M = P[:, :3]
     # fix global sign so that most weighted points have positive depth
     z_sign = jnp.sum(jnp.sign(Xn @ M[2] + P[2, 3]) * wf)
     P = P * jnp.where(z_sign < 0, -1.0, 1.0)
     M = P[:, :3]
-    # orthogonal Procrustes: R = U V^T, scale = mean singular value
-    U, S, Vt = jnp.linalg.svd(M)
-    det = jnp.linalg.det(U @ Vt)
-    D = jnp.diag(jnp.array([1.0, 1.0, 0.0], M.dtype)) + \
-        jnp.diag(jnp.array([0.0, 0.0, 1.0], M.dtype)) * det
-    R = U @ D @ Vt
-    scale = jnp.sum(S * jnp.array([1.0, 1.0, det], M.dtype)) / 3.0
+    # orthogonal Procrustes: nearest rotation (Horn quaternion closed
+    # form); scale = mean "signed singular value" = tr(R^T M) / 3
+    R = nearest_rotation(M)
+    scale = jnp.sum(R * M) / 3.0
     t_n = P[:, 3] / jnp.maximum(scale, 1e-12)
     # undo 3D normalization: x_cam = R (s3 (X - mean3)) + t_n
     #                              = s3 R X + (t_n - s3 R mean3)
@@ -73,62 +73,6 @@ def pnp_dlt(K: jnp.ndarray, xyz: jnp.ndarray, uv: jnp.ndarray,
     # Projection is scale-invariant in cam -> t = t_n/s3 - R mean3.
     t = t_n / s3 - R @ mean3
     return log_so3(R), t
-
-
-def _real_cubic_root(b, c, d):
-    """Largest real root of x^3 + b x^2 + c x + d (trigonometric method,
-    branch-free)."""
-    p = c - b * b / 3.0
-    q = 2.0 * b ** 3 / 27.0 - b * c / 3.0 + d
-    # three-real-root case (discriminant <= 0): Viete
-    p_ = jnp.minimum(p, -1e-12)
-    m = 2.0 * jnp.sqrt(-p_ / 3.0)
-    acos_arg = jnp.clip(3.0 * q / (p_ * m), -1.0, 1.0)
-    theta = jnp.arccos(acos_arg) / 3.0
-    root_tri = m * jnp.cos(theta) - b / 3.0
-    # one-real-root case (discriminant > 0): Cardano
-    disc = q * q / 4.0 + p ** 3 / 27.0
-    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-    cbrt = lambda x: jnp.sign(x) * jnp.abs(x) ** (1.0 / 3.0)
-    root_car = cbrt(-q / 2.0 + sq) + cbrt(-q / 2.0 - sq) - b / 3.0
-    return jnp.where(disc > 0, root_car, root_tri)
-
-
-def _quartic_roots(A4, A3, A2, A1, A0):
-    """Real roots of A4 x^4 + ... + A0 (Ferrari).  Returns (roots [4],
-    valid [4]); invalid slots hold 0."""
-    A4s = jnp.where(jnp.abs(A4) < 1e-12, jnp.sign(A4) * 1e-12 + 1e-12, A4)
-    p = A3 / A4s
-    q = A2 / A4s
-    r = A1 / A4s
-    s = A0 / A4s
-    al = q - 3.0 * p * p / 8.0
-    be = r - p * q / 2.0 + p ** 3 / 8.0
-    ga = s - p * r / 4.0 + p * p * q / 16.0 - 3.0 * p ** 4 / 256.0
-    # resolvent cubic 8m^3 + 8 al m^2 + (2 al^2 - 8 ga) m - be^2 = 0
-    m = _real_cubic_root(al, al * al / 4.0 - ga, -be * be / 8.0)
-    m = jnp.maximum(m, 1e-12)
-    w = jnp.sqrt(2.0 * m)
-    # y^2 + w y + (al/2 + m - be/(2w)) = 0 ; y^2 - w y + (al/2 + m + be/(2w))
-    c1 = al / 2.0 + m - be / (2.0 * w)
-    c2 = al / 2.0 + m + be / (2.0 * w)
-    d1 = w * w - 4.0 * c1
-    d2 = w * w - 4.0 * c2
-    s1 = jnp.sqrt(jnp.maximum(d1, 0.0))
-    s2 = jnp.sqrt(jnp.maximum(d2, 0.0))
-    ys = jnp.stack([(-w + s1) / 2.0, (-w - s1) / 2.0,
-                    (w + s2) / 2.0, (w - s2) / 2.0])
-    valid = jnp.stack([d1 >= 0, d1 >= 0, d2 >= 0, d2 >= 0])
-    roots = ys - p / 4.0
-    # Newton-polish each root on the original quartic (2 iterations)
-    def f(x):
-        return (((A4 * x + A3) * x + A2) * x + A1) * x + A0
-    def fp(x):
-        return ((4 * A4 * x + 3 * A3) * x + 2 * A2) * x + A1
-    for _ in range(2):
-        roots = roots - f(roots) / jnp.where(
-            jnp.abs(fp(roots)) < 1e-9, 1e-9, fp(roots))
-    return jnp.where(valid, roots, 0.0), valid
 
 
 def p3p(K: jnp.ndarray, xyz3: jnp.ndarray, uv3: jnp.ndarray):
@@ -196,10 +140,7 @@ def p3p(K: jnp.ndarray, xyz3: jnp.ndarray, uv3: jnp.ndarray):
         Pm = jnp.mean(xyz3, axis=0)
         Cm = jnp.mean(C_pts, axis=0)
         M = (C_pts - Cm).T @ (xyz3 - Pm)
-        U, _, Vt = jnp.linalg.svd(M)
-        d = jnp.linalg.det(U @ Vt)
-        R = U @ jnp.diag(jnp.array([1.0, 1.0, 0.0], M.dtype)
-                         + jnp.array([0.0, 0.0, 1.0], M.dtype) * d) @ Vt
+        R = nearest_rotation(M)   # closed-form Kabsch (no svd custom call)
         t = Cm - R @ Pm
         return log_so3(R), t
 
@@ -234,7 +175,10 @@ def _pose_residual_jac(K, rvec, tvec, xyz, uv, w):
                    -(fx * p[:, 0] + skew * p[:, 1]) * inv_z * inv_z], -1),
         jnp.stack([zero, fy * inv_z, -fy * p[:, 1] * inv_z * inv_z], -1),
     ], axis=1)
-    A_w = jnp.einsum("oij,ojk->oik", duv_dp, -_hat(RX))
+    # tiny batched matmul as broadcast multiply-reduce (a [N,2,3]x[N,3,3]
+    # dot_general lowers to a slow conv kernel on TPU — see smallinv._mm)
+    A_w = jnp.sum(duv_dp[..., :, :, None] * (-_hat(RX))[..., None, :, :],
+                  axis=-2)
     A = jnp.concatenate([A_w, duv_dp], -1) * w[:, None, None]
     return r, A
 

@@ -75,6 +75,45 @@ def solve6(H: jnp.ndarray, g: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([x1, x2], axis=-1)
 
 
+def solve12(M: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """[..., 12, 12] @ x = v [..., 12] via 6x6-block Schur elimination
+    (each 6x6 handled by the 3x3-block forms above).  Same caveat: the
+    leading blocks must be invertible — true for the regularized normal
+    matrices this serves (DLT A^T A + eps I in geometry/pnp.py)."""
+    A = M[..., :6, :6]
+    B = M[..., :6, 6:]
+    C = M[..., 6:, :6]
+    D = M[..., 6:, 6:]
+    g1, g2 = v[..., :6], v[..., 6:]
+    Ainv = inv6x6(A)
+    CAinv = _mm(C, Ainv)
+    S = D - _mm(CAinv, B)
+    x2 = _mv(inv6x6(S), g2 - _mv(CAinv, g1))
+    x1 = _mv(Ainv, g1 - _mv(B, x2))
+    return jnp.concatenate([x1, x2], axis=-1)
+
+
+def min_eigvec(M: jnp.ndarray, iters: int = 3) -> jnp.ndarray:
+    """Smallest-eigenvalue eigenvector of a symmetric PSD [..., 12, 12]
+    matrix by regularized inverse iteration (each step a closed-form
+    blocked solve).  Replaces jnp.linalg.eigh on the DLT normal matrix —
+    the TPU EighTpu custom call serializes inside vmapped hypothesis
+    batches (73 ms per fleet tracking chunk, benchmarks/bench_fleet_trace).
+
+    For DLT null-space problems the smallest eigenvalue is ~0 while the
+    rest are O(1) after Hartley normalization, so each iteration shrinks
+    off-axis error by ~eps/lam_2: 2-3 iterations reach fp32 noise."""
+    n = M.shape[-1]
+    tr = jnp.trace(M, axis1=-2, axis2=-1)[..., None, None]
+    reg = M + (1e-7 / n) * tr * jnp.eye(n, dtype=M.dtype)
+    v = jnp.ones(M.shape[:-2] + (n,), M.dtype)
+    for _ in range(iters):
+        v = solve12(reg, v)
+        v = v / jnp.maximum(
+            jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-30)
+    return v
+
+
 def inv6x6(H: jnp.ndarray) -> jnp.ndarray:
     """[..., 6, 6] inverse via 3x3-block Schur (same caveat as solve6)."""
     A = H[..., :3, :3]

@@ -25,8 +25,15 @@ def initialize_hosts(coordinator: Optional[str] = None,
             jax.distributed.initialize(
                 coordinator_address=coordinator,
                 num_processes=num_processes, process_id=process_id)
-    except (RuntimeError, ValueError):
-        pass  # already initialized or single-process environment
+    except (RuntimeError, ValueError) as e:
+        # Already-initialized and single-process auto-detect failures are
+        # expected; a genuine multi-host misconfiguration lands here too,
+        # so always leave a trace instead of silently running single-host.
+        import logging
+        logging.getLogger(__name__).warning(
+            "jax.distributed.initialize skipped: %s (continuing "
+            "single-process; pass coordinator/num_processes/process_id "
+            "explicitly for manual clusters)", e)
 
 
 def make_scan_map_mesh(n_scan: Optional[int] = None) -> Mesh:

@@ -29,8 +29,9 @@ import jax.numpy as jnp
 
 from ..geometry.rotations import exp_so3
 from ..geometry.smallinv import inv6x6
-from .residuals import Observations, residuals_and_jacobians, huber_weights, \
-    apply_pose_update, bmv_small
+from .residuals import Observations, residuals_and_jacobians, \
+    residuals_and_jacobians_gathered, huber_weights, \
+    apply_pose_update, bmm_small, bmv_small
 from .core import BAStats, inv3_sym, _damp
 
 
@@ -168,23 +169,51 @@ def make_coupling_ops(tables: ObsTables, n_cams: int, *,
     return wT_x, w_z, not use_onehot
 
 
-def _blocks_in_layout(K, R, tvec, xyz, cam_idx_t, lm_idx_t, uv_t, w_t,
+def _huber_w(r, delta):
+    if delta <= 0:
+        return jnp.ones(r.shape[:-1], r.dtype)
+    nrm = jnp.linalg.norm(r, axis=-1)
+    return jnp.where(nrm <= delta, 1.0, delta / jnp.maximum(nrm, 1e-12))
+
+
+def _blocks_lm_major(K, R, tvec, xyz, tables: ObsTables,
+                     cam_free_f, lm_free_f, huber_delta):
+    """Landmark-major blocks [L, kmax, ...].  The landmark side is a
+    broadcast view (no gather); the camera side is ONE packed [C, 13]
+    gather (R | t | cam_free) instead of three separate per-slot gathers
+    — the per-observation gathers dominated linearization
+    (benchmarks/bench_ba_trace.py: ~65 of 101 ms/LM-iter)."""
+    C = R.shape[0]
+    packed = jnp.concatenate(
+        [R.reshape(C, 9), tvec, cam_free_f[:, None]], axis=1)  # [C, 13]
+    g = packed[tables.lm_cam]                            # [L, kmax, 13]
+    Rc = g[..., :9].reshape(*tables.lm_cam.shape, 3, 3)
+    tc = g[..., 9:12]
+    cfree = g[..., 12]
+    X = xyz[:, None, :]                                  # broadcast view
+    r, A, B = residuals_and_jacobians_gathered(K, Rc, tc, X, tables.lm_uv)
+    w = tables.lm_w * _huber_w(r, huber_delta)
+    A = A * (w * cfree)[..., None, None]
+    B = B * (w * lm_free_f[:, None])[..., None, None]
+    return r, A, B, r * w[..., None], w
+
+
+def _blocks_cam_major(K, R, tvec, xyz, tables: ObsTables,
                       cam_free_f, lm_free_f, huber_delta):
-    """Residuals + masked Jacobian blocks for one table layout.
-    Shapes: table [..., 2] etc with leading table dims flattened."""
-    shape = cam_idx_t.shape
-    obs = Observations(cam_idx=cam_idx_t.reshape(-1),
-                       lm_idx=lm_idx_t.reshape(-1),
-                       uv=uv_t.reshape(-1, 2),
-                       w=w_t.reshape(-1))
-    r, A, B = residuals_and_jacobians(K, R, tvec, xyz, obs)
-    w = obs.w * huber_weights(r, huber_delta)
-    A = A * (w * cam_free_f[obs.cam_idx])[:, None, None]
-    B = B * (w * lm_free_f[obs.lm_idx])[:, None, None]
-    rw = r * w[:, None]
-    return (r.reshape(*shape, 2), A.reshape(*shape, 2, 6),
-            B.reshape(*shape, 2, 3), rw.reshape(*shape, 2),
-            w.reshape(shape))
+    """Camera-major blocks [C, nmax, ...].  The camera side is a broadcast
+    view; the landmark side is ONE packed [L, 4] gather (xyz | lm_free)."""
+    L = xyz.shape[0]
+    packed = jnp.concatenate([xyz, lm_free_f[:, None]], axis=1)  # [L, 4]
+    g = packed[tables.cam_lm]                            # [C, nmax, 4]
+    X = g[..., :3]
+    lfree = g[..., 3]
+    Rc = R[:, None]                                      # broadcast view
+    tc = tvec[:, None]
+    r, A, B = residuals_and_jacobians_gathered(K, Rc, tc, X, tables.cam_uv)
+    w = tables.cam_w * _huber_w(r, huber_delta)
+    A = A * (w * cam_free_f[:, None])[..., None, None]
+    B = B * (w * lfree)[..., None, None]
+    return r, A, B, r * w[..., None], w
 
 
 def run_large_ba(K, rvec, tvec, xyz, tables: ObsTables, *,
@@ -192,7 +221,7 @@ def run_large_ba(K, rvec, tvec, xyz, tables: ObsTables, *,
                  cg_iterations: int = 25, lam0: float = 1e-3,
                  lam_up: float = 4.0, lam_down: float = 2.0,
                  huber_delta: float = 0.0, tol: float = 1e-4,
-                 onehot_threshold: int = 4096,
+                 onehot_threshold: int = 4096, precond: str = "jacobi_u",
                  pallas_matvec: bool = False, pallas_tile: int = 256,
                  pallas_precision: str = "bf16",
                  pallas_interpret: bool = False,
@@ -238,17 +267,17 @@ def run_large_ba(K, rvec, tvec, xyz, tables: ObsTables, *,
         tables, C, onehot_threshold=onehot_threshold)
     if pallas_matvec:
         needs_cam_major = False
+    # the schur_diag preconditioner needs the camera-major W blocks
+    keep_cam_major = needs_cam_major or precond == "schur_diag"
 
     def linearize(rvec, tvec, xyz):
         R = exp_so3(rvec)
-        # landmark-major blocks
-        r_l, A_l, B_l, rw_l, w_l = _blocks_in_layout(
-            K, R, tvec, xyz, tables.lm_cam, _lm_self(L, tables.lm_cam),
-            tables.lm_uv, tables.lm_w, cam_free_f, lm_free_f, huber_delta)
-        # camera-major blocks
-        r_c, A_c, B_c, rw_c, w_c = _blocks_in_layout(
-            K, R, tvec, xyz, _cam_self(C, tables.cam_lm), tables.cam_lm,
-            tables.cam_uv, tables.cam_w, cam_free_f, lm_free_f, huber_delta)
+        # landmark-major blocks (landmark side broadcast, camera side one
+        # packed gather) / camera-major blocks (vice versa)
+        r_l, A_l, B_l, rw_l, w_l = _blocks_lm_major(
+            K, R, tvec, xyz, tables, cam_free_f, lm_free_f, huber_delta)
+        r_c, A_c, B_c, rw_c, w_c = _blocks_cam_major(
+            K, R, tvec, xyz, tables, cam_free_f, lm_free_f, huber_delta)
         # block products as broadcast multiply-reduces, not dot_generals
         # (see residuals.bmm_small for why)
         U = jnp.sum(A_c[..., :, None] * A_c[..., None, :],
@@ -260,7 +289,7 @@ def run_large_ba(K, rvec, tvec, xyz, tables: ObsTables, *,
         W_l = jnp.sum(A_l[..., :, None] * B_l[..., None, :],
                       axis=2)                                # [L,kmax,6,3]
         W_c = (jnp.sum(A_c[..., :, None] * B_c[..., None, :], axis=2)
-               if needs_cam_major else None)                 # [C,nmax,6,3]
+               if keep_cam_major else None)                  # [C,nmax,6,3]
         cost = jnp.sum(jnp.sum(r_l * r_l, -1) * w_l)
         return (U, V, W_l, W_c, g_cam, g_lm), cost
 
@@ -297,17 +326,30 @@ def run_large_ba(K, rvec, tvec, xyz, tables: ObsTables, *,
             zg = bmv_small(Vinv, g_lm)
             rhs = g_cam - w_z(W_l, W_c, zg)
 
-        # block-Jacobi preconditioner: damped U block inverses
         Ud = _damp(U, lam)
-        M_inv = inv6x6(Ud + 1e-6 * jnp.eye(6))
+        if precond == "schur_diag":
+            # block-Jacobi on the EXACT diagonal of S = damp(U) - W V^-1 W^T
+            # (not just on U): S_cc = damp(U_cc) - sum_j W_cj Vinv_j W_cj^T.
+            # NEGATIVE RESULT at the 1k-KF bench (docs/BENCH_NOTES.md): the
+            # build costs ~9 ms/LM-iter (Vinv gather + fused reduce) and the
+            # PCG iteration count does NOT drop on banded camera graphs —
+            # kept as an option for problems with hub cameras
+            Vinv_c = Vinv[tables.cam_lm]             # [C, nmax, 3, 3]
+            WV = bmm_small(W_c, Vinv_c)              # [C, nmax, 6, 3]
+            P = jnp.sum(WV[..., :, None, :] * W_c[..., None, :, :],
+                        axis=(1, 4))                 # [C, 6, 6]
+            M_inv = inv6x6(Ud - P + 1e-6 * jnp.eye(6))
+        else:
+            # block-Jacobi preconditioner: damped U block inverses
+            M_inv = inv6x6(Ud + 1e-6 * jnp.eye(6))
 
-        def precond(v):
+        def apply_precond(v):
             return jnp.einsum("cab,cb->ca", M_inv, v)
 
         # PCG, fixed trip count
         x0 = jnp.zeros_like(rhs)
         r0 = rhs - matvec(x0)
-        z0 = precond(r0)
+        z0 = apply_precond(r0)
 
         def cg_body(_, cg):
             x, r, z, p = cg
@@ -316,7 +358,7 @@ def run_large_ba(K, rvec, tvec, xyz, tables: ObsTables, *,
             alpha = rz / jnp.maximum(jnp.sum(p * Ap), 1e-12)
             x = x + alpha * p
             r_new = r - alpha * Ap
-            z_new = precond(r_new)
+            z_new = apply_precond(r_new)
             beta = jnp.sum(r_new * z_new) / jnp.maximum(rz, 1e-12)
             p = z_new + beta * p
             return x, r_new, z_new, p

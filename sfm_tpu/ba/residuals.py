@@ -49,6 +49,45 @@ class Observations(NamedTuple):
     w: jnp.ndarray         # [O] f32 weights (0 = padding/invalid)
 
 
+def residuals_and_jacobians_gathered(K: jnp.ndarray, Rc: jnp.ndarray,
+                                     tc: jnp.ndarray, X: jnp.ndarray,
+                                     uv: jnp.ndarray):
+    """Residual r [...,2] and blocks A [...,2,6], B [...,2,3] from
+    ALREADY-gathered (or broadcast) per-observation pose/point tensors:
+    Rc [...,3,3], tc [...,3], X [...,3], uv [...,2].  Pure elementwise —
+    callers that hold observations in table layouts pass one side as a
+    broadcast view and skip its gather entirely (the per-observation
+    gathers were the dominant cost of large-BA linearization,
+    benchmarks/bench_ba_trace.py)."""
+    RX = jnp.sum(Rc * X[..., None, :], axis=-1)       # ...ij,...j->...i
+    p = RX + tc                           # camera-frame point
+    z = p[..., 2]
+    z_safe = jnp.where(jnp.abs(z) < 1e-6, jnp.where(z < 0, -1e-6, 1e-6), z)
+    inv_z = 1.0 / z_safe
+    fx, fy, skew = K[0, 0], K[1, 1], K[0, 1]
+    cx, cy = K[0, 2], K[1, 2]
+    u = fx * p[..., 0] * inv_z + skew * p[..., 1] * inv_z + cx
+    v = fy * p[..., 1] * inv_z + cy
+    r = jnp.stack([u, v], axis=-1) - uv
+
+    # d(uv)/d(p_cam): [...,2,3]
+    zero = jnp.zeros_like(inv_z)
+    duv_dp = jnp.stack([
+        jnp.stack([fx * inv_z, skew * inv_z,
+                   -(fx * p[..., 0] + skew * p[..., 1]) * inv_z * inv_z],
+                  -1),
+        jnp.stack([zero, fy * inv_z, -fy * p[..., 1] * inv_z * inv_z], -1),
+    ], axis=-2)
+
+    # d(p_cam)/d(dw) = -hat(R X); d(p_cam)/d(dt) = I; d(p_cam)/dX = R
+    dp_dw = -hat(RX)                      # [...,3,3]
+    A_w = bmm_small(duv_dp, dp_dw)
+    A_t = duv_dp
+    A = jnp.concatenate([A_w, A_t], axis=-1)          # [...,2,6]
+    B = bmm_small(duv_dp, Rc)             # broadcasts if Rc has a 1-dim
+    return r, A, B
+
+
 def residuals_and_jacobians(K: jnp.ndarray, R: jnp.ndarray,
                             tvec: jnp.ndarray, xyz: jnp.ndarray,
                             obs: Observations):
@@ -59,32 +98,7 @@ def residuals_and_jacobians(K: jnp.ndarray, R: jnp.ndarray,
     Rc = R[obs.cam_idx]                   # [O,3,3]
     tc = tvec[obs.cam_idx]                # [O,3]
     X = xyz[obs.lm_idx]                   # [O,3]
-    RX = jnp.sum(Rc * X[:, None, :], axis=-1)   # oij,oj->oi
-    p = RX + tc                           # camera-frame point
-    z = p[:, 2]
-    z_safe = jnp.where(jnp.abs(z) < 1e-6, jnp.where(z < 0, -1e-6, 1e-6), z)
-    inv_z = 1.0 / z_safe
-    fx, fy, skew = K[0, 0], K[1, 1], K[0, 1]
-    cx, cy = K[0, 2], K[1, 2]
-    u = fx * p[:, 0] * inv_z + skew * p[:, 1] * inv_z + cx
-    v = fy * p[:, 1] * inv_z + cy
-    r = jnp.stack([u, v], axis=-1) - obs.uv
-
-    # d(uv)/d(p_cam): [O,2,3]
-    zero = jnp.zeros_like(inv_z)
-    duv_dp = jnp.stack([
-        jnp.stack([fx * inv_z, skew * inv_z,
-                   -(fx * p[:, 0] + skew * p[:, 1]) * inv_z * inv_z], -1),
-        jnp.stack([zero, fy * inv_z, -fy * p[:, 1] * inv_z * inv_z], -1),
-    ], axis=1)
-
-    # d(p_cam)/d(dw) = -hat(R X); d(p_cam)/d(dt) = I; d(p_cam)/dX = R
-    dp_dw = -hat(RX)                      # [O,3,3]
-    A_w = bmm_small(duv_dp, dp_dw)        # oij,ojk->oik
-    A_t = duv_dp
-    A = jnp.concatenate([A_w, A_t], axis=-1)          # [O,2,6]
-    B = bmm_small(duv_dp, Rc)             # oij,ojk->oik  [O,2,3]
-    return r, A, B
+    return residuals_and_jacobians_gathered(K, Rc, tc, X, obs.uv)
 
 
 def huber_weights(r: jnp.ndarray, delta: float) -> jnp.ndarray:

@@ -225,9 +225,6 @@ def schur_scatter(cams_t, wt, z_t, *, kmax: int, n_cams_pad: int,
     )(cams_t, wt, z_t)
 
 
-_KCHUNK = 8   # k-slots merged per wide dot (bounds the in-VMEM one-hot)
-
-
 def _fused_kernel(kmax: int, Cw: int, precision: str,
                   base_ref, cams_ref, wt_ref, vinv_ref, g_ref, x_ref,
                   z_ref, y_ref):
@@ -239,15 +236,8 @@ def _fused_kernel(kmax: int, Cw: int, precision: str,
     camera-window offset;
     cams_ref holds WINDOW-LOCAL camera indices (cam - base).  Padding
     slots carry zero W blocks, so out-of-window locals (< 0 or >= Cw)
-    simply match no one-hot column and contribute nothing.
-
-    The k slots are merged into ONE wide one-hot [Cw, KC*TL] feeding one
-    gather dot and one scatter dot per chunk (a fori_loop of kmax small
-    dependent dots was latency-bound: 12 serialized [8, Cw] x [Cw, TL]
-    launches per tile ran the apply at ~4x the MXU-utilization roofline).
-    _KCHUNK bounds the one-hot's VMEM footprint for large kmax."""
+    simply match no one-hot column and contribute nothing."""
     i = pl.program_id(0)
-    TL = cams_ref.shape[-1]
 
     @pl.when(i == 0)
     def _():
@@ -256,25 +246,13 @@ def _fused_kernel(kmax: int, Cw: int, precision: str,
     ow = pl.multiple_of(base_ref[i, 0], LANE)
     xw = x_ref[:, pl.ds(ow, Cw)]                             # [8, Cw]
 
-    chunks = [(k0, min(_KCHUNK, kmax - k0))
-              for k0 in range(0, kmax, _KCHUNK)]
+    def gbody(k, t):
+        ekT = _ekT(cams_ref, k, Cw, jnp.bfloat16)            # [Cw, TL]
+        xg = _onehot_dot(xw, ekT, precision, False)          # [8, TL]
+        w_k = wt_ref[0, :, pl.ds(k * 8, 8), :]               # [3, 8, TL]
+        return t + jnp.sum(w_k * xg[None, :, :], axis=1)     # [3, TL]
 
-    def ekT_wide(k0, kc):
-        """One-hot [Cw, kc*TL] covering k slots k0..k0+kc-1."""
-        col = jax.lax.broadcasted_iota(jnp.int32, (Cw, kc, TL), 0)
-        cams = cams_ref[0, k0:k0 + kc, :]                    # [kc, TL]
-        return (col == cams[None, :, :]).astype(jnp.bfloat16).reshape(
-            Cw, kc * TL)
-
-    t = g_ref[0, 0:3, :]
-    for k0, kc in chunks:
-        E = ekT_wide(k0, kc)
-        xg_all = _onehot_dot(xw, E, precision, False)        # [8, kc*TL]
-        for k in range(kc):
-            kk = (k0 + k) * 8
-            w_k = wt_ref[0, :, kk:kk + 8, :]                 # [3, 8, TL]
-            xg = xg_all[:, k * TL:(k + 1) * TL]              # [8, TL]
-            t = t + jnp.sum(w_k * xg[None, :, :], axis=1)    # [3, TL]
+    t = jax.lax.fori_loop(0, kmax, gbody, g_ref[0, 0:3, :])
 
     zs = []
     for a in range(3):
@@ -284,19 +262,16 @@ def _fused_kernel(kmax: int, Cw: int, precision: str,
         z_ref[0, a, :] = acc
         zs.append(acc)
 
-    yacc = jnp.zeros((8, Cw), jnp.float32)
-    for k0, kc in chunks:
-        qs = []
-        for k in range(kc):
-            kk = (k0 + k) * 8
-            w_k = wt_ref[0, :, kk:kk + 8, :]                 # [3, 8, TL]
-            qs.append(w_k[0] * zs[0][None, :] + w_k[1] * zs[1][None, :]
-                      + w_k[2] * zs[2][None, :])             # [8, TL]
-        q_all = jnp.concatenate(qs, axis=1)                  # [8, kc*TL]
-        # E rebuilt (cheap iota-compare) so it isn't live across phases
-        yacc = yacc + _onehot_dot(q_all, ekT_wide(k0, kc), precision,
-                                  True)                      # [8, Cw]
-    y_ref[:, pl.ds(ow, Cw)] += yacc
+    def sbody(k, acc):
+        w_k = wt_ref[0, :, pl.ds(k * 8, 8), :]               # [3, 8, TL]
+        q = (w_k[0] * zs[0][None, :] + w_k[1] * zs[1][None, :]
+             + w_k[2] * zs[2][None, :])                      # [8, TL]
+        ekT = _ekT(cams_ref, k, Cw, jnp.bfloat16)
+        return acc + _onehot_dot(q, ekT, precision, True)    # [8, Cw]
+
+    acc = jax.lax.fori_loop(0, kmax, sbody,
+                            jnp.zeros((8, Cw), jnp.float32))
+    y_ref[:, pl.ds(ow, Cw)] += acc
 
 
 @functools.partial(jax.jit, static_argnames=("kmax", "window", "pad_width",

@@ -25,8 +25,8 @@ from jax import shard_map
 
 from ..ba.residuals import Observations, apply_pose_update, bmv_small
 from ..ba.core import BAStats, inv3_sym, _damp
-from ..ba.large import ObsTables, build_tables, _blocks_in_layout, \
-    make_coupling_ops
+from ..ba.large import ObsTables, build_tables, _blocks_lm_major, \
+    _blocks_cam_major, make_coupling_ops
 from ..geometry.rotations import exp_so3
 
 
@@ -72,20 +72,12 @@ def build_dist_large_ba(mesh: Mesh, axis: str, n_cams: int, shard_size: int,
 
         def linearize(rvec, tvec, xyz_l):
             R = exp_so3(rvec)
-            r_l, A_l, B_l, rw_l, w_l = _blocks_in_layout(
-                K, R, tvec, xyz_l, tables_l.lm_cam,
-                jnp.broadcast_to(
-                    jnp.arange(L_l, dtype=jnp.int32)[:, None],
-                    tables_l.lm_cam.shape),
-                tables_l.lm_uv, tables_l.lm_w, cam_free_f, lm_free_f,
+            r_l, A_l, B_l, rw_l, w_l = _blocks_lm_major(
+                K, R, tvec, xyz_l, tables_l, cam_free_f, lm_free_f,
                 huber_delta)
-            _, A_c, B_c, rw_c, _ = _blocks_in_layout(
-                K, R, tvec, xyz_l,
-                jnp.broadcast_to(
-                    jnp.arange(n_cams, dtype=jnp.int32)[:, None],
-                    tables_l.cam_lm.shape),
-                tables_l.cam_lm, tables_l.cam_uv, tables_l.cam_w,
-                cam_free_f, lm_free_f, huber_delta)
+            _, A_c, B_c, rw_c, _ = _blocks_cam_major(
+                K, R, tvec, xyz_l, tables_l, cam_free_f, lm_free_f,
+                huber_delta)
             # shard-partial camera terms -> one fused psum; block products
             # as broadcast multiply-reduces (see residuals.bmm_small)
             U_p = jnp.sum(A_c[..., :, None] * A_c[..., None, :],

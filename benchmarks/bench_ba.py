@@ -16,7 +16,7 @@ import numpy as np
 
 
 def main(n_cams=1000, n_lms=100_000, obs_per_lm=6, iters=8, cg_iters=25,
-         pallas=1):
+         pallas=1, fused=1):
     import jax
     import jax.numpy as jnp
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
@@ -63,7 +63,8 @@ def main(n_cams=1000, n_lms=100_000, obs_per_lm=6, iters=8, cg_iters=25,
     f = jax.jit(lambda rv, tv, X: run_large_ba(
         jnp.asarray(K), rv, tv, X, tables, cam_free=cam_free,
         lm_free=lm_free, iterations=iters, cg_iterations=cg_iters,
-        tol=0.0, pallas_matvec=bool(pallas), schur_plan=plan))
+        tol=0.0, pallas_matvec=bool(pallas), schur_plan=plan,
+        fused_linearize=bool(pallas and fused)))
     t0 = time.time()
     out = f(rv0, tv0, X0)
     jax.block_until_ready(out)

@@ -62,7 +62,13 @@ def main(batch=64, n_frames=48):
         for i in range(T)])) for c in range(n_frames // T)]
     jax.block_until_ready(all_chunks)
 
-    # chunk 0: compile + bootstrap (untimed warmup)
+    # compile ALL dispatch paths up front (a cold cache would otherwise
+    # put map_all/full_chunk compiles inside the timed loop), then run
+    # chunk 0 untimed for bootstrap
+    print("warmup: compiling dispatch paths...", file=sys.stderr)
+    t0 = time.time()
+    drv.warmup(all_chunks[0])
+    print(f"warmup compile: {time.time() - t0:.1f}s", file=sys.stderr)
     m = drv.step_chunk(all_chunks[0])
     jax.block_until_ready(m)
     t0 = time.time()

@@ -225,7 +225,7 @@ def run_large_ba(K, rvec, tvec, xyz, tables: ObsTables, *,
                  pallas_matvec: bool = False, pallas_tile: int = 256,
                  pallas_precision: str = "bf16",
                  pallas_interpret: bool = False,
-                 schur_plan=None
+                 schur_plan=None, fused_linearize: bool = False
                  ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, BAStats]:
     """Implicit-Schur LM: outer damping loop, inner block-Jacobi PCG on the
     reduced camera system.  All reductions are table-axis sums.
@@ -270,8 +270,34 @@ def run_large_ba(K, rvec, tvec, xyz, tables: ObsTables, *,
     # the schur_diag preconditioner needs the camera-major W blocks
     keep_cam_major = needs_cam_major or precond == "schur_diag"
 
+    # fused Pallas linearization: one kernel pass emits wt (already in the
+    # Schur-apply tile layout), tiled V|g_lm, and the U/g_cam/cost camera
+    # accumulator — replaces both _blocks_* passes, the [L,kmax,6,3] HBM
+    # round-trip AND the per-LM-iter wt packing (linearize_pallas.py)
+    lin_t = None
+    if fused_linearize:
+        assert pallas_matvec, "fused_linearize requires pallas_matvec"
+        assert precond != "schur_diag", \
+            "fused_linearize emits no camera-major W blocks"
+        from .linearize_pallas import (build_lin_tables, fused_blocks,
+                                       damped_vinv_tiled)
+        if schur_plan is not None:
+            lin_t = build_lin_tables(
+                tables.lm_cam, tables.lm_uv, tables.lm_w, C,
+                tile=pallas_tile, base=schur_plan.base,
+                window=schur_plan.window, pad_width=schur_plan.pad_width)
+        else:
+            lin_t = build_lin_tables(tables.lm_cam, tables.lm_uv,
+                                     tables.lm_w, C, tile=pallas_tile)
+
     def linearize(rvec, tvec, xyz):
         R = exp_so3(rvec)
+        if fused_linearize:
+            wt, vg_t, U, g_cam, cost = fused_blocks(
+                K, R, tvec, xyz, lm_free_f, cam_free_f, lin_t,
+                precision="bf16x3", huber_delta=huber_delta,
+                interpret=pallas_interpret)
+            return (wt, vg_t, U, g_cam), cost
         # landmark-major blocks (landmark side broadcast, camera side one
         # packed gather) / camera-major blocks (vice versa)
         r_l, A_l, B_l, rw_l, w_l = _blocks_lm_major(
@@ -293,8 +319,79 @@ def run_large_ba(K, rvec, tvec, xyz, tables: ObsTables, *,
         cost = jnp.sum(jnp.sum(r_l * r_l, -1) * w_l)
         return (U, V, W_l, W_c, g_cam, g_lm), cost
 
+    def _solve_and_accept(carry, U, matvec, rhs, backsub, M_inv=None):
+        """Shared LM-iteration tail: block-Jacobi PCG on the reduced
+        camera system, back-substitution, accept/reject + relinearize."""
+        rvec, tvec, xyz, blocks, cost, lam, accepted, done = carry
+        if M_inv is None:
+            # block-Jacobi preconditioner: damped U block inverses
+            M_inv = inv6x6(_damp(U, lam) + 1e-6 * jnp.eye(6))
+
+        def apply_precond(v):
+            return jnp.einsum("cab,cb->ca", M_inv, v)
+
+        # PCG, fixed trip count
+        x0 = jnp.zeros_like(rhs)
+        r0 = rhs - matvec(x0)
+        z0 = apply_precond(r0)
+
+        def cg_body(_, cg):
+            x, r, z, p = cg
+            Ap = matvec(p)
+            rz = jnp.sum(r * z)
+            alpha = rz / jnp.maximum(jnp.sum(p * Ap), 1e-12)
+            x = x + alpha * p
+            r_new = r - alpha * Ap
+            z_new = apply_precond(r_new)
+            beta = jnp.sum(r_new * z_new) / jnp.maximum(rz, 1e-12)
+            p = z_new + beta * p
+            return x, r_new, z_new, p
+
+        d_cam, _, _, _ = jax.lax.fori_loop(
+            0, cg_iterations, cg_body, (x0, r0, z0, z0))
+        d_cam = d_cam * cam_free_f[:, None]
+        d_lm = backsub(d_cam) * lm_free_f[:, None]
+
+        rv_new, tv_new = jax.vmap(apply_pose_update)(
+            rvec, tvec, d_cam[:, :3], d_cam[:, 3:])
+        xyz_new = xyz + d_lm
+        blocks_new, new_cost = linearize(rv_new, tv_new, xyz_new)
+        ok = (new_cost < cost) & jnp.isfinite(new_cost)
+        rvec = jnp.where(ok, rv_new, rvec)
+        tvec = jnp.where(ok, tv_new, tvec)
+        xyz = jnp.where(ok, xyz_new, xyz)
+        blocks = jax.tree.map(lambda n, o: jnp.where(ok, n, o),
+                              blocks_new, blocks)
+        lam = jnp.where(ok, jnp.maximum(lam / lam_down, 1e-9),
+                        jnp.minimum(lam * lam_up, 1e6))
+        done = done | (ok & (cost - new_cost < tol * jnp.maximum(cost, 1.0)))
+        cost = jnp.where(ok, new_cost, cost)
+        return rvec, tvec, xyz, blocks, cost, lam, \
+            accepted + ok.astype(jnp.int32), done
+
     def body(carry):
         rvec, tvec, xyz, blocks, cost, lam, accepted, done = carry
+        if fused_linearize:
+            from .linearize_pallas import damped_vinv_tiled
+            from .schur_pallas import SchurOperator
+            wt, vg_t, U, g_cam = blocks
+            vinv_t = damped_vinv_tiled(vg_t, lam)
+            g_t = jnp.pad(vg_t[:, 9:12], ((0, 0), (0, 5), (0, 0)))
+            op = SchurOperator.from_packed(
+                wt, lin_t.cams_t, lin_t.base_t, L=L, kmax=lin_t.kmax,
+                tile=pallas_tile, precision=pallas_precision,
+                interpret=pallas_interpret, window=lin_t.window,
+                pad_width=lin_t.pad_width)
+            op.vinv_t = vinv_t
+
+            def matvec(x):
+                Ux = jnp.einsum("cab,cb->ca", _damp(U, lam), x)
+                return Ux - op.w_vinv_wt_x(x)
+
+            rhs = g_cam - op.w_vinv_g_packed(g_t, C)
+            return _solve_and_accept(
+                carry, U, matvec, rhs,
+                lambda d_cam: op.back_substitute_packed(g_t, d_cam))
         U, V, W_l, W_c, g_cam, g_lm = blocks
         Vinv = inv3_sym(_damp(V, lam))
 
@@ -326,8 +423,8 @@ def run_large_ba(K, rvec, tvec, xyz, tables: ObsTables, *,
             zg = bmv_small(Vinv, g_lm)
             rhs = g_cam - w_z(W_l, W_c, zg)
 
-        Ud = _damp(U, lam)
         if precond == "schur_diag":
+            Ud = _damp(U, lam)
             # block-Jacobi on the EXACT diagonal of S = damp(U) - W V^-1 W^T
             # (not just on U): S_cc = damp(U_cc) - sum_j W_cj Vinv_j W_cj^T.
             # NEGATIVE RESULT at the 1k-KF bench (docs/BENCH_NOTES.md): the
@@ -340,57 +437,15 @@ def run_large_ba(K, rvec, tvec, xyz, tables: ObsTables, *,
                         axis=(1, 4))                 # [C, 6, 6]
             M_inv = inv6x6(Ud - P + 1e-6 * jnp.eye(6))
         else:
-            # block-Jacobi preconditioner: damped U block inverses
-            M_inv = inv6x6(Ud + 1e-6 * jnp.eye(6))
-
-        def apply_precond(v):
-            return jnp.einsum("cab,cb->ca", M_inv, v)
-
-        # PCG, fixed trip count
-        x0 = jnp.zeros_like(rhs)
-        r0 = rhs - matvec(x0)
-        z0 = apply_precond(r0)
-
-        def cg_body(_, cg):
-            x, r, z, p = cg
-            Ap = matvec(p)
-            rz = jnp.sum(r * z)
-            alpha = rz / jnp.maximum(jnp.sum(p * Ap), 1e-12)
-            x = x + alpha * p
-            r_new = r - alpha * Ap
-            z_new = apply_precond(r_new)
-            beta = jnp.sum(r_new * z_new) / jnp.maximum(rz, 1e-12)
-            p = z_new + beta * p
-            return x, r_new, z_new, p
-
-        d_cam, _, _, _ = jax.lax.fori_loop(
-            0, cg_iterations, cg_body, (x0, r0, z0, z0))
-        d_cam = d_cam * cam_free_f[:, None]
+            M_inv = None  # default block-Jacobi built in _solve_and_accept
 
         # back-substitution: d_lm = Vinv (g_lm - W^T d_cam)
         if pallas_matvec:
-            d_lm = op.back_substitute(g_lm, d_cam) * lm_free_f[:, None]
+            backsub = lambda d_cam: op.back_substitute(g_lm, d_cam)
         else:
-            t = wT_x(W_l, d_cam)
-            d_lm = bmv_small(Vinv, g_lm - t) * \
-                lm_free_f[:, None]
-
-        rv_new, tv_new = jax.vmap(apply_pose_update)(
-            rvec, tvec, d_cam[:, :3], d_cam[:, 3:])
-        xyz_new = xyz + d_lm
-        blocks_new, new_cost = linearize(rv_new, tv_new, xyz_new)
-        ok = (new_cost < cost) & jnp.isfinite(new_cost)
-        rvec = jnp.where(ok, rv_new, rvec)
-        tvec = jnp.where(ok, tv_new, tvec)
-        xyz = jnp.where(ok, xyz_new, xyz)
-        blocks = jax.tree.map(lambda n, o: jnp.where(ok, n, o),
-                              blocks_new, blocks)
-        lam = jnp.where(ok, jnp.maximum(lam / lam_down, 1e-9),
-                        jnp.minimum(lam * lam_up, 1e6))
-        done = done | (ok & (cost - new_cost < tol * jnp.maximum(cost, 1.0)))
-        cost = jnp.where(ok, new_cost, cost)
-        return rvec, tvec, xyz, blocks, cost, lam, \
-            accepted + ok.astype(jnp.int32), done
+            backsub = lambda d_cam: bmv_small(Vinv,
+                                              g_lm - wT_x(W_l, d_cam))
+        return _solve_and_accept(carry, U, matvec, rhs, backsub, M_inv)
 
     blocks0, cost0 = linearize(rvec, tvec, xyz)
 

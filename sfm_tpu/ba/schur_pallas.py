@@ -396,10 +396,49 @@ class SchurOperator:
             jnp.int32)
         self._zeros_g = jnp.zeros((self.nT, 8, tile), jnp.float32)
 
+    @classmethod
+    def from_packed(cls, wt, cams_t, base_t, *, L: int, kmax: int,
+                    tile: int, precision: str = "bf16",
+                    interpret: bool = False, window: int = None,
+                    pad_width: int = None) -> "SchurOperator":
+        """Constructor for wt ALREADY in the packed tile layout (as the
+        fused linearizer emits it, linearize_pallas.py) — skips the
+        transpose/pack pass entirely."""
+        self = cls.__new__(cls)
+        self.L, self.kmax = L, kmax
+        self.tile = tile
+        self.precision = precision
+        self.interpret = interpret
+        self.wt = wt
+        self.nT = wt.shape[0]
+        self.base_t = base_t
+        self.window = window
+        self.pad_width = pad_width
+        self.cams_t = cams_t
+        self._zeros_g = jnp.zeros((self.nT, 8, tile), jnp.float32)
+        return self
+
     def set_vinv(self, Vinv: jnp.ndarray):
         """Vinv [L,3,3] changes with the damping lambda."""
         self.vinv_t = pack_lm_tiles(Vinv.reshape(self.L, 9), self.tile,
                                     pad_rows=16)
+
+    def w_vinv_g_packed(self, g_t: jnp.ndarray, n_cams: int) -> jnp.ndarray:
+        """As w_vinv_g but with g already in [nT, 8, TL] tile layout."""
+        win, pw = self._dims(n_cams)
+        y, _ = self._apply(g_t, jnp.zeros((8, pw), jnp.float32), win)
+        return y.T[:n_cams, :6]
+
+    def back_substitute_packed(self, g_t: jnp.ndarray, d_cam: jnp.ndarray
+                               ) -> jnp.ndarray:
+        """As back_substitute but with g already packed."""
+        win, pw = self._dims(d_cam.shape[0])
+        z_t, _ = schur_apply_fused(
+            self.base_t, self.cams_t, self.wt, self.vinv_t,
+            g_t, self._pad_x(-d_cam, pw),
+            kmax=self.kmax, window=win, pad_width=pw,
+            precision=self.precision, interpret=self.interpret)
+        return unpack_lm_tiles(z_t, self.L, 3)
 
     def _dims(self, n_cams: int):
         """(window, pad_width), defaulting to one all-camera window."""

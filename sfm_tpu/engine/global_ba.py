@@ -67,7 +67,8 @@ def _solve(cfg: SfMConfig, state: SfMState, tables, plan_leaves, cam,
         cg_iterations=cfg.global_ba_cg_iterations,
         lam0=cfg.ba_lambda_init, lam_up=cfg.ba_lambda_up,
         lam_down=cfg.ba_lambda_down, huber_delta=cfg.ba_huber_delta,
-        tol=cfg.ba_tol, pallas_matvec=use_pallas, schur_plan=plan)
+        tol=cfg.ba_tol, pallas_matvec=use_pallas, schur_plan=plan,
+        fused_linearize=use_pallas)
     kfs = kfs._replace(frames=kfs.frames._replace(rvec=rv, tvec=tv))
     state = state._replace(kfs=kfs, lms=lms._replace(xyz=xyz))
     return state, stats

@@ -276,7 +276,10 @@ def mapping_pass(cfg: SfMConfig, cam: CameraParams, state: SfMState,
             cg_iterations=cfg.ba_cg_iterations,
             lam0=cfg.ba_lambda_init, lam_up=cfg.ba_lambda_up,
             lam_down=cfg.ba_lambda_down, huber_delta=cfg.ba_huber_delta,
-            tol=cfg.ba_tol, pallas_matvec=cfg.use_pallas_ba)
+            tol=cfg.ba_tol, pallas_matvec=cfg.use_pallas_ba,
+            # fused Pallas linearization (planless full camera window
+            # here; the periodic global BA adds the SchurPlan windows)
+            fused_linearize=cfg.use_pallas_ba)
     elif cfg.ba_solver == "cg":
         rv, tv, xyz, stats = run_ba_cg(
             cam.Kopt, kfs.frames.rvec, kfs.frames.tvec, ba_xyz, ba_obs,

@@ -130,6 +130,26 @@ class MultiScanDriver:
         self._full_chunk = jax.jit(full_chunk, donate_argnums=(0,))
         self.states = init_batched_state(cfg, batch)
 
+    def warmup(self, chunk_images):
+        """AOT-compile every dispatch path (tracking chunk, bucketed
+        full-step chunk/frame, mapping bucket + map-all) so a cold run's
+        first timed steps don't include compilation.  ``chunk_images`` is
+        a representative [T, B, H, W] chunk; compilation uses abstract
+        shapes only (no state is mutated)."""
+        sds = lambda t: jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), t)
+        st = sds(self.states)
+        ch = sds(chunk_images)
+        img = jax.tree.map(lambda s: jax.ShapeDtypeStruct(
+            s.shape[1:], s.dtype), ch)
+        idx = jax.ShapeDtypeStruct((self.bucket,), jnp.int32)
+        self._track_chunk.lower(st, ch).compile()
+        self._track_step.lower(st, img).compile()
+        self._full_chunk.lower(st, idx, ch).compile()
+        self._full_bucket.lower(st, idx, img).compile()
+        self._map_bucket.lower(st, idx).compile()
+        self._map_all.lower(st).compile()
+
     def step(self, images) -> "StepMetrics":
         """One fleet step: vmapped tracking + bucketed dispatch of
         bootstrap/reloc (non-RUNNING scans) and mapping (pending slots)."""

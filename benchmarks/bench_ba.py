@@ -16,7 +16,7 @@ import numpy as np
 
 
 def main(n_cams=1000, n_lms=100_000, obs_per_lm=6, iters=8, cg_iters=25,
-         pallas=1, fused=1):
+         pallas=1, fused=1, tile=4096):
     import jax
     import jax.numpy as jnp
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
@@ -48,7 +48,7 @@ def main(n_cams=1000, n_lms=100_000, obs_per_lm=6, iters=8, cg_iters=25,
     plan = None
     if pallas:
         from sfm_tpu.ba.schur_pallas import SchurPlan
-        plan = SchurPlan(tables.lm_cam, tables.lm_w, n_cams, tile=256)
+        plan = SchurPlan(tables.lm_cam, tables.lm_w, n_cams, tile=tile)
         print(f"SchurPlan: window={plan.window} of Cp={plan.pad_width} "
               f"({plan.pad_width // plan.window}x dot shrink)",
               file=sys.stderr)
@@ -64,6 +64,7 @@ def main(n_cams=1000, n_lms=100_000, obs_per_lm=6, iters=8, cg_iters=25,
         jnp.asarray(K), rv, tv, X, tables, cam_free=cam_free,
         lm_free=lm_free, iterations=iters, cg_iterations=cg_iters,
         tol=0.0, pallas_matvec=bool(pallas), schur_plan=plan,
+        pallas_tile=tile,
         fused_linearize=bool(pallas and fused)))
     t0 = time.time()
     out = f(rv0, tv0, X0)

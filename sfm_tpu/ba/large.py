@@ -330,9 +330,10 @@ def run_large_ba(K, rvec, tvec, xyz, tables: ObsTables, *,
         def apply_precond(v):
             return jnp.einsum("cab,cb->ca", M_inv, v)
 
-        # PCG, fixed trip count
+        # PCG, fixed trip count; x0 = 0 so r0 = rhs exactly (running
+        # matvec(0) would cost one full W-table apply for a zero result)
         x0 = jnp.zeros_like(rhs)
-        r0 = rhs - matvec(x0)
+        r0 = rhs
         z0 = apply_precond(r0)
 
         def cg_body(_, cg):

@@ -30,6 +30,12 @@ from ..ba.large import build_tables_device, run_large_ba
 from .state import SfMState, CameraParams
 
 
+# Pallas landmark-tile size: larger tiles amortize per-tile dot overhead
+# (10.8 vs 23.7 ms/LM-iter at 4096 vs 256 on the 1k-KF bench); 2048 here
+# leaves VMEM headroom for data-dependent camera windows (8192 OOMs).
+_TILE = 2048
+
+
 class _PlanLeaves(NamedTuple):
     perm: jnp.ndarray
     inv_perm: jnp.ndarray
@@ -56,7 +62,7 @@ def _solve(cfg: SfMConfig, state: SfMState, tables, plan_leaves, cam,
                                inv_perm=plan_leaves.inv_perm,
                                base=plan_leaves.base,
                                window=window, pad_width=pad_width,
-                               tile=256)
+                               tile=_TILE)
     kfs, lms = state.kfs, state.lms
     oldest = jnp.argmin(jnp.where(kfs.valid, kfs.frames.frame_no, 2**30))
     cam_free = kfs.valid.at[oldest].set(False)
@@ -68,7 +74,7 @@ def _solve(cfg: SfMConfig, state: SfMState, tables, plan_leaves, cam,
         lam0=cfg.ba_lambda_init, lam_up=cfg.ba_lambda_up,
         lam_down=cfg.ba_lambda_down, huber_delta=cfg.ba_huber_delta,
         tol=cfg.ba_tol, pallas_matvec=use_pallas, schur_plan=plan,
-        fused_linearize=use_pallas)
+        pallas_tile=_TILE, fused_linearize=use_pallas)
     kfs = kfs._replace(frames=kfs.frames._replace(rvec=rv, tvec=tv))
     state = state._replace(kfs=kfs, lms=lms._replace(xyz=xyz))
     return state, stats
@@ -88,7 +94,7 @@ def run_global_ba(cfg: SfMConfig, cam: CameraParams, state: SfMState,
     if use_pallas:
         plan = SchurPlan(np.asarray(tables.lm_cam),
                          np.asarray(tables.lm_w),
-                         cfg.max_keyframes, tile=256)
+                         cfg.max_keyframes, tile=_TILE)
         leaves = _PlanLeaves(jnp.asarray(plan.perm),
                              jnp.asarray(plan.inv_perm),
                              jnp.asarray(plan.base))

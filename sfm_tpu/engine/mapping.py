@@ -278,8 +278,9 @@ def mapping_pass(cfg: SfMConfig, cam: CameraParams, state: SfMState,
             lam_down=cfg.ba_lambda_down, huber_delta=cfg.ba_huber_delta,
             tol=cfg.ba_tol, pallas_matvec=cfg.use_pallas_ba,
             # fused Pallas linearization (planless full camera window
-            # here; the periodic global BA adds the SchurPlan windows)
-            fused_linearize=cfg.use_pallas_ba)
+            # here; the periodic global BA adds the SchurPlan windows);
+            # 2048-landmark tiles amortize per-tile dot overhead
+            pallas_tile=2048, fused_linearize=cfg.use_pallas_ba)
     elif cfg.ba_solver == "cg":
         rv, tv, xyz, stats = run_ba_cg(
             cam.Kopt, kfs.frames.rvec, kfs.frames.tvec, ba_xyz, ba_obs,

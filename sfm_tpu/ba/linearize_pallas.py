@@ -52,7 +52,7 @@ class LinTables(NamedTuple):
     """Static (per-solve) packed observation tables for the fused
     linearizer.  Built once from the (plan-permuted) lm-major ObsTables."""
     base_t: jnp.ndarray   # [nT, 1] int32 camera-window base (128-aligned)
-    cams_t: jnp.ndarray   # [nT, 8, TL] int32 window-LOCAL camera index
+    cams_t: jnp.ndarray   # [nT, max(kmax,8), TL] int32 window-LOCAL cam idx
     uvw_t: jnp.ndarray    # [nT, kmax*8, TL] rows k*8+{0,1,2} = u, v, w
     kmax: int
     tile: int
@@ -72,6 +72,10 @@ def build_lin_tables(lm_cam, lm_uv, lm_w, n_cams: int, *, tile: int,
     base = jnp.asarray(base, jnp.int32)
     tile_of = jnp.arange(L, dtype=jnp.int32) // tile
     lm_local = lm_cam - base[tile_of][:, None]
+    # pad_rows=8 keeps sublane alignment for kmax < 8; for kmax > 8 the
+    # packed row count is kmax itself and the kernel BlockSpec must cover
+    # ALL rows (a (1, 8, TL) block would clamp k >= 8 to row 7 and read
+    # the wrong camera — see tests/test_linearize_pallas.py kmax=16 case)
     cams_t = pack_lm_tiles(lm_local, tile, pad_rows=8).astype(jnp.int32)
     # uvw rows per k padded to 8 so in-kernel slices stay sublane-aligned
     uvw = jnp.zeros((L, kmax, 8), jnp.float32)
@@ -205,7 +209,7 @@ def linearize_fused(kvals, base_t, cams_t, uvw_t, xyzf_t, campk, *,
     campk  [16, pad_width]   rows 0..8 R row-major, 9..11 t, 12 cam_free
     Returns (wt [nT, 3, kmax*8, TL], vg_t [nT, 16, TL],
              camacc [32, pad_width])."""
-    nT, _, TL = cams_t.shape
+    nT, KR, TL = cams_t.shape
     K8 = kmax * 8
     return pl.pallas_call(
         functools.partial(_linearize_kernel, kmax, window, precision,
@@ -216,7 +220,9 @@ def linearize_fused(kvals, base_t, cams_t, uvw_t, xyzf_t, campk, *,
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 8), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 8, TL), lambda i: (i, 0, 0),
+            # cams block must span ALL max(kmax, 8) packed rows: a fixed
+            # 8-row block silently clamps the dynamic k index for k >= 8
+            pl.BlockSpec((1, KR, TL), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, K8, TL), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),

@@ -30,7 +30,7 @@ multiple of 8, or Mosaic falls off the vector path.  All per-landmark
 tables therefore pad their row groups to 8:
     wt    [nT, 3, kmax*8, TL]  wt[i, c, k*8+r, j] = W[iTL+j, k, r, c]
                                (r in 0..5 real block rows, 6..7 zero)
-    cams  [nT, 8,  TL]  int32  camera index per (landmark, k) slot (k<kmax)
+    cams  [nT, max(kmax,8), TL]  int32  camera index per (landmark, k) slot
     vinvt [nT, 16, TL]         rows a*3+b of the 3x3 inverse, 9..15 zero
     gt    [nT, 8,  TL]         rows 0..2 real
     x     [8, Cp]              rows 0..5 real; Cp = C padded to lanes
@@ -171,9 +171,12 @@ def _scatter_kernel(kmax: int, Cp: int, precision: str,
     y_ref[:] += acc
 
 
-def _lm_specs(kmax: int, K8: int, TL: int):
+def _lm_specs(cam_rows: int, K8: int, TL: int):
+    # cam_rows = cams_t.shape[1] = max(kmax, 8): the block must span every
+    # packed camera-index row, or the in-kernel dynamic read cams_ref[0,k,:]
+    # clamps k >= 8 to row 7 and gathers/scatters the wrong camera
     return [
-        pl.BlockSpec((1, 8, TL), lambda i: (i, 0, 0),
+        pl.BlockSpec((1, cam_rows, TL), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 3, K8, TL), lambda i: (i, 0, 0, 0),
                      memory_space=pltpu.VMEM),
@@ -190,7 +193,7 @@ def schur_gather(cams_t, wt, vinv_t, g_t, x, *, kmax: int,
     return pl.pallas_call(
         functools.partial(_gather_kernel, kmax, Cp, precision),
         grid=(nT,),
-        in_specs=_lm_specs(kmax, K8, TL) + [
+        in_specs=_lm_specs(cams_t.shape[1], K8, TL) + [
             pl.BlockSpec((1, 16, TL), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 8, TL), lambda i: (i, 0, 0),
@@ -214,7 +217,7 @@ def schur_scatter(cams_t, wt, z_t, *, kmax: int, n_cams_pad: int,
     return pl.pallas_call(
         functools.partial(_scatter_kernel, kmax, Cp, precision),
         grid=(nT,),
-        in_specs=_lm_specs(kmax, K8, TL) + [
+        in_specs=_lm_specs(cams_t.shape[1], K8, TL) + [
             pl.BlockSpec((1, 8, TL), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -293,7 +296,7 @@ def schur_apply_fused(base_t, cams_t, wt, vinv_t, g_t, x, *, kmax: int,
             # program_id in-kernel)
             pl.BlockSpec((nT, 1), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
-        ] + _lm_specs(kmax, K8, TL) + [
+        ] + _lm_specs(cams_t.shape[1], K8, TL) + [
             pl.BlockSpec((1, 16, TL), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 8, TL), lambda i: (i, 0, 0),

@@ -45,13 +45,13 @@ def _run_fused(K, rvec, tvec, X, tables, n_cams, cam_free_f, lm_free_f,
 
 
 class TestFusedLinearize:
-    def _check(self, rng, huber_delta=0.0, use_plan=False, free_mask=False):
-        n_cams, n_pts = 5, 70
+    def _check(self, rng, huber_delta=0.0, use_plan=False, free_mask=False,
+               n_cams=5, n_pts=70, kmax=4):
         K, rvec, tvec, X, obs = make_ba_scene(rng, n_cams=n_cams,
                                               n_pts=n_pts)
         rvec = rvec.at[1:].add(0.01)
         X = X + 0.02
-        tables = build_tables(obs, n_cams, n_pts, nmax=128, kmax=4)
+        tables = build_tables(obs, n_cams, n_pts, nmax=128, kmax=kmax)
         cam_free_f = jnp.ones(n_cams)
         lm_free_f = jnp.ones(n_pts)
         if free_mask:
@@ -112,6 +112,16 @@ class TestFusedLinearize:
 
     def test_parity_with_plan(self, rng):
         self._check(rng, use_plan=True)
+
+    def test_parity_kmax16(self, rng):
+        """The engine default is ba_kmax=16: every landmark here is seen
+        by 12 cameras, so observation slots 8..11 are live.  Catches the
+        8-row cams BlockSpec clamp (ADVICE round 2, high: slots >= 8 read
+        row 7's camera and corrupt U/g_cam/cost)."""
+        self._check(rng, n_cams=12, n_pts=40, kmax=16)
+
+    def test_parity_kmax16_with_plan(self, rng):
+        self._check(rng, n_cams=12, n_pts=40, kmax=16, use_plan=True)
 
     def test_damped_vinv_tiled(self, rng):
         L = 37

@@ -71,6 +71,22 @@ def test_schur_operator_parity(rng):
     np.testing.assert_allclose(got, z2, rtol=2e-4, atol=2e-4)
 
 
+def test_schur_operator_parity_kmax16(rng):
+    """kmax > 8: the packed cams table has kmax rows and the kernel block
+    must span them all — a fixed 8-row block clamps slots 8..15 onto row 7
+    and applies the wrong camera (ADVICE round 2, high)."""
+    lm_cam, W, Vinv, x, g = _random_problem(rng, C=20, L=30, kmax=16)
+    op = SchurOperator(jnp.asarray(W), jnp.asarray(lm_cam), tile=16,
+                       interpret=True)
+    op.set_vinv(jnp.asarray(Vinv))
+    y_ref, z_ref = _reference(lm_cam, W, Vinv, x, np.zeros_like(g))
+    got = np.asarray(op.w_vinv_wt_x(jnp.asarray(x)))
+    np.testing.assert_allclose(got, y_ref, rtol=2e-4, atol=2e-4)
+    _, z2 = _reference(lm_cam, W, Vinv, -x, g)
+    got = np.asarray(op.back_substitute(jnp.asarray(g), jnp.asarray(x)))
+    np.testing.assert_allclose(got, z2, rtol=2e-4, atol=2e-4)
+
+
 def _tiny_ba_problem(rng, n_cams=5, n_lms=60, obs_per_lm=3):
     X = np.stack([rng.uniform(-2, 2, n_lms), rng.uniform(-2, 2, n_lms),
                   rng.uniform(4, 8, n_lms)], 1).astype(np.float32)

@@ -65,14 +65,22 @@ def main():
     # pure-tracking measurement: with keyframe_time_lag=10 nearly every
     # 16-frame chunk of the main trajectory inserts a keyframe (and thus
     # times a mapping+BA pass too), so measure RUNNING-state tracking on
-    # low-motion chunks where the keyframe policy never fires.  Same map,
-    # same shapes, same per-frame work minus the keyframe branch.
-    slow_r, slow_t = strafe_trajectory(CHUNK, step=0.002, yaw_rate=0.0002)
+    # keyframe-free chunks.  The camera zig-zags laterally around the final
+    # pose with a CONSTANT 0.03 m/frame step: at the scene's 4-7 m depths
+    # that is 2.3-3.9 px/frame of flow — inside the [1.5, 40] px matching
+    # window every frame (the old 0.002-step version sat BELOW the 1.5 px
+    # min-motion gate, so "pure tracking" actually timed the lost/reloc
+    # ramp — the round-2 75/128 regression's second half).  The wrap
+    # between repeats also steps by 0.03, so every frame tracks.
     base_r, base_t = rvecs[-1], tvecs[-1]
+    zig = np.array([1, 2, 3, 2, 1, 0, -1, -2, -3, -2, -1, 0, 1, 2, 3, 2],
+                   np.float32) * 0.03
     jitter = jnp.asarray(np.stack([
-        scene.render(K, base_r + slow_r[i], base_t + slow_t[i], 480, 640)
+        scene.render(K, base_r, base_t - np.array([zig[i], 0, 0],
+                                                  np.float32), 480, 640)
         for i in range(CHUNK)]))
     pure_times = []
+    pure_statuses = []
     for _ in range(4):
         t0 = time.time()
         state, m = chunk_step(state, jitter)
@@ -81,7 +89,16 @@ def main():
         if int(np.asarray(m.keyframe_added).sum()):
             print("warning: keyframe fired in pure-tracking chunk",
                   file=sys.stderr)
-        statuses.extend(np.asarray(m.status).tolist())
+        pure_statuses.extend(np.asarray(m.status).tolist())
+    statuses.extend(pure_statuses)
+    # a silent robustness regression must never ship inside a green fps
+    # number (VERDICT round 2): every timed frame must be RUNNING
+    n_pure_run = int((np.array(pure_statuses) == 1).sum())
+    if n_pure_run < len(pure_statuses):
+        print(f"BENCH INVALID: only {n_pure_run}/{len(pure_statuses)} "
+              "timed pure-tracking frames RUNNING — the fps below would "
+              "time the lost/reloc branch, not tracking", file=sys.stderr)
+        raise SystemExit(1)
 
     statuses = np.array(statuses)
     times = np.array(times)

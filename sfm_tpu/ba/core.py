@@ -42,6 +42,9 @@ class BAStats(NamedTuple):
     final_cost: jnp.ndarray
     lam: jnp.ndarray
     accepted: jnp.ndarray   # number of accepted LM steps
+    # observations dropped by table capacity clamps feeding this solve
+    # (attached by callers that build tables; 0 when nothing was dropped)
+    dropped_obs: jnp.ndarray = jnp.asarray(0, jnp.int32)
 
 
 def _assemble(K, rvec, tvec, xyz, obs: Observations, cam_free, lm_free,

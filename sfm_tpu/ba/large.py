@@ -85,7 +85,7 @@ def build_tables(obs: Observations, n_cams: int, n_lms: int,
 
 
 def build_tables_device(obs: Observations, n_cams: int, n_lms: int,
-                        nmax: int, kmax: int) -> ObsTables:
+                        nmax: int, kmax: int):
     """Jittable dual-table construction from the COO observation list —
     the device-side replacement for ``build_tables``'s host loop, usable
     per-keyframe inside the engine (VERDICT: ba/large.py:58-79 was
@@ -97,7 +97,12 @@ def build_tables_device(obs: Observations, n_cams: int, n_lms: int,
     slots are left as zero-weight holes — harmless padding, exactly like
     table tail padding).  Under overflow the dropped SET can differ from
     the host builder's sequential choice; without overflow the tables
-    hold identical observation multisets."""
+    hold identical observation multisets.
+
+    Returns ``(tables, n_dropped)``: the dropped-observation count is a
+    first-class output so callers can surface it (no-silent-caps rule —
+    at engine kmax a well-observed landmark can overflow silently
+    otherwise; VERDICT round 2 item 7)."""
     O = obs.cam_idx.shape[0]
     live = obs.w > 0
 
@@ -127,7 +132,8 @@ def build_tables_device(obs: Observations, n_cams: int, n_lms: int,
         obs.uv, mode="drop")
     cam_w = jnp.zeros((n_cams, nmax), jnp.float32).at[c_idx, slot_c].set(
         obs.w, mode="drop")
-    return ObsTables(lm_cam, lm_uv, lm_w, cam_lm, cam_uv, cam_w)
+    n_dropped = (jnp.sum(live) - jnp.sum(keep)).astype(jnp.int32)
+    return ObsTables(lm_cam, lm_uv, lm_w, cam_lm, cam_uv, cam_w), n_dropped
 
 
 def _onehot_f32(idx, n):

@@ -74,6 +74,19 @@ class SfMConfig:
                                        # widened track set (0 disables)
     max_lost_frames: int = 10          # frames below min matches before LOST
 
+    # ---- relocalization (real implementation of the reference's stub
+    # recovery(), CSfM.cpp:774-778) ----
+    # P3P, not DLT: reloc has no pose prior, and the global-match landmark
+    # set is often quasi-planar (sprite/facade scenes), where 6-pt DLT is
+    # degenerate — the nullspace becomes a homography family and NO
+    # eigenvector is the pose (diagnosed on the round-2 75/128 bench
+    # regression: DLT scored 0 inliers on 68%-correct match sets that P3P
+    # solved).  Tracking keeps DLT by default because its prior-pose
+    # hypothesis covers the degenerate cases.
+    reloc_solver: str = "p3p"
+    reloc_min_inliers: int = 10        # accept recovery at >= this support
+                                       # (tracking re-polishes from there)
+
     # ---- flow-assisted tracking (the reference's disabled alternative
     # path: CTracker::computeOpticalFlow, CSfM.cpp:824).  When on, prev
     # frame map-linked features whose descriptor match failed are tracked

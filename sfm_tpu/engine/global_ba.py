@@ -47,15 +47,15 @@ def _build(cfg: SfMConfig, state: SfMState):
     obs = observations_from_keyframes(state.kfs, state.lms.valid)
     return build_tables_device(
         obs, cfg.max_keyframes, cfg.max_landmarks,
-        nmax=cfg.max_keypoints, kmax=cfg.ba_kmax)
+        nmax=cfg.max_keypoints, kmax=cfg.ba_kmax)  # -> (tables, n_dropped)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "use_pallas", "window",
                                     "pad_width"),
                    donate_argnames=("state",))
-def _solve(cfg: SfMConfig, state: SfMState, tables, plan_leaves, cam,
-           use_pallas: bool, window: int = 0, pad_width: int = 0):
+def _solve(cfg: SfMConfig, state: SfMState, tables, n_dropped, plan_leaves,
+           cam, use_pallas: bool, window: int = 0, pad_width: int = 0):
     plan = None
     if use_pallas and plan_leaves is not None:
         plan = SimpleNamespace(perm=plan_leaves.perm,
@@ -77,7 +77,7 @@ def _solve(cfg: SfMConfig, state: SfMState, tables, plan_leaves, cam,
         pallas_tile=_TILE, fused_linearize=use_pallas)
     kfs = kfs._replace(frames=kfs.frames._replace(rvec=rv, tvec=tv))
     state = state._replace(kfs=kfs, lms=lms._replace(xyz=xyz))
-    return state, stats
+    return state, stats._replace(dropped_obs=n_dropped)
 
 
 def run_global_ba(cfg: SfMConfig, cam: CameraParams, state: SfMState,
@@ -89,7 +89,7 @@ def run_global_ba(cfg: SfMConfig, cam: CameraParams, state: SfMState,
 
     if use_pallas is None:
         use_pallas = cfg.use_pallas_ba
-    tables = _build(cfg, state)
+    tables, n_dropped = _build(cfg, state)
     leaves, window, pad_width = None, 0, 0
     if use_pallas:
         plan = SchurPlan(np.asarray(tables.lm_cam),
@@ -104,5 +104,5 @@ def run_global_ba(cfg: SfMConfig, cam: CameraParams, state: SfMState,
         window = int(-(-plan.window // 512) * 512)
         pad_width = int(-(-(plan.pad_width + window - plan.window)
                           // 512) * 512)
-    return _solve(cfg, state, tables, leaves, cam, use_pallas,
+    return _solve(cfg, state, tables, n_dropped, leaves, cam, use_pallas,
                   window=window, pad_width=pad_width)

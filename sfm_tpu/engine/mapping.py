@@ -266,9 +266,10 @@ def mapping_pass(cfg: SfMConfig, cam: CameraParams, state: SfMState,
         # device-built dual tables + implicit-Schur PCG: the mapping-pass
         # BA at 500+-keyframe capacities (VERDICT item 4)
         from ..ba.large import build_tables_device, run_large_ba
-        tables = build_tables_device(
+        tables, n_dropped = build_tables_device(
             ba_obs, cfg.max_keyframes, ba_xyz.shape[0],
             nmax=cfg.max_keypoints, kmax=cfg.ba_kmax)
+        state = state._replace(ba_dropped_obs=n_dropped)
         rv, tv, xyz, stats = run_large_ba(
             cam.Kopt, kfs.frames.rvec, kfs.frames.tvec, ba_xyz, tables,
             cam_free=cam_free, lm_free=ba_lm_free,

@@ -34,7 +34,8 @@ def reloc_step(cfg: SfMConfig, cam: CameraParams, state: SfMState,
         k_pnp, cam.Kopt, lms.xyz, uv, res.mask & lms.valid,
         n_hypotheses=cfg.pnp_hypotheses, sample_size=cfg.pnp_sample_size,
         threshold=cfg.max_reproj_error, refine_iters=cfg.pnp_refine_iters,
-        min_inliers=max(cfg.min_features * 3, 15), solver=cfg.pnp_solver)
+        min_inliers=max(cfg.min_features, cfg.reloc_min_inliers),
+        solver=cfg.reloc_solver)
 
     def recovered(_):
         L = lms.valid.shape[0]

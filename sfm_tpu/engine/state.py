@@ -56,6 +56,9 @@ class SfMState(NamedTuple):
     guidance: "GuidanceState"      # scan-guidance EMA state (runs in the
                                    # RUNNING branch on RGB input, matching
                                    # CSfM.cpp:80-81's placement)
+    ba_dropped_obs: jnp.ndarray    # scalar int32: observations dropped by
+                                   # the last large-BA table build (kmax/
+                                   # nmax overflow — surfaced, never silent)
 
 
 class StepMetrics(NamedTuple):
@@ -70,6 +73,8 @@ class StepMetrics(NamedTuple):
     n_keyframes: jnp.ndarray
     keyframe_added: jnp.ndarray
     mean_reproj_err: jnp.ndarray
+    ba_dropped_obs: jnp.ndarray    # observations the last large-BA table
+                                   # build dropped (0 on other solvers)
     rvec: jnp.ndarray
     tvec: jnp.ndarray
     # scan guidance (zeros when the engine runs grayscale-only)
@@ -85,6 +90,7 @@ def zero_metrics() -> StepMetrics:
                        n_tracked=z, n_landmarks=z, n_keyframes=z,
                        keyframe_added=jnp.asarray(False),
                        mean_reproj_err=jnp.asarray(0.0, jnp.float32),
+                       ba_dropped_obs=z,
                        rvec=jnp.zeros(3, jnp.float32),
                        tvec=jnp.zeros(3, jnp.float32),
                        guid_centroid=jnp.zeros(3, jnp.float32),
@@ -111,6 +117,7 @@ def init_state(cfg: SfMConfig) -> SfMState:
         prev_image=jnp.zeros(cfg.image_size if cfg.track_with_flow else (1, 1),
                              jnp.float32),
         guidance=_init_guidance(cfg),
+        ba_dropped_obs=jnp.asarray(0, jnp.int32),
     )
 
 

@@ -218,6 +218,7 @@ def tracking_step(cfg: SfMConfig, cam: CameraParams, state: SfMState,
             n_keyframes=jnp.sum(st.kfs.valid).astype(jnp.int32),
             keyframe_added=want_kf,
             mean_reproj_err=mean_err,
+            ba_dropped_obs=st.ba_dropped_obs,
             rvec=new_prev.rvec, tvec=new_prev.tvec)
         return st, m
 

@@ -117,10 +117,16 @@ def ransac_pnp(key, K, xyz, uv, valid, *, n_hypotheses: int = 64,
     steady-state tracking cost drops to one refinement)."""
 
     def refined(rv0, tv0):
-        err0 = reprojection_errors(K, rv0, tv0, xyz, uv)
-        inl0 = (err0 < threshold) & valid
-        rv, tv = refine_pose(K, rv0, tv0, xyz, uv,
-                             inl0.astype(jnp.float32), iters=refine_iters)
+        # two refine->recount rounds: the second round re-runs Gauss-Newton
+        # on the GROWN inlier set, which matters when the initial pose only
+        # captures part of the consensus (measured on the reloc scenario:
+        # 12 -> 15 inliers; a third round gains nothing)
+        rv, tv = rv0, tv0
+        for _ in range(2):
+            err = reprojection_errors(K, rv, tv, xyz, uv)
+            inl = (err < threshold) & valid
+            rv, tv = refine_pose(K, rv, tv, xyz, uv,
+                                 inl.astype(jnp.float32), iters=refine_iters)
         err = reprojection_errors(K, rv, tv, xyz, uv)
         inl = (err < threshold) & valid
         return rv, tv, inl, jnp.sum(inl)

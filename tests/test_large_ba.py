@@ -99,7 +99,9 @@ class TestDeviceTables:
         w[rng.random(len(w)) < 0.2] = 0.0
         obs = obs._replace(w=jnp.asarray(w))
         th = build_tables(obs, 3, 20, nmax=32, kmax=8)
-        td = jax.jit(lambda o: build_tables_device(o, 3, 20, 32, 8))(obs)
+        td, n_drop = jax.jit(lambda o: build_tables_device(o, 3, 20, 32, 8))(
+            obs)
+        assert int(n_drop) == 0
         # no overflow here: identical observation multisets per row
         for name in ("lm", "cam"):
             ch, uh, wh = (getattr(th, f"{name}_cam" if name == "lm"
@@ -125,14 +127,17 @@ class TestDeviceTables:
     def test_overflow_consistent(self, rng):
         from sfm_tpu.ba.large import build_tables_device
         K, rvec, tvec, X, obs = make_ba_scene(rng, n_cams=4, n_pts=10)
-        t = build_tables_device(obs, 4, 10, nmax=16, kmax=2)  # kmax < 4
+        t, n_drop = build_tables_device(obs, 4, 10, nmax=16, kmax=2)
         assert float(t.lm_w.sum()) == float(t.cam_w.sum())
         assert float(t.lm_w.sum()) <= 10 * 2
+        # every landmark is seen by 4 cams but kmax=2: the overflow count
+        # must be surfaced, not silent (VERDICT round 2 item 7)
+        assert int(n_drop) == 10 * (4 - 2)
 
     def test_solver_runs_on_device_tables(self, rng):
         from sfm_tpu.ba.large import build_tables_device
         K, rvec, tvec, X, obs = make_ba_scene(rng, n_cams=4, n_pts=60)
-        tables = build_tables_device(obs, 4, 60, nmax=64, kmax=4)
+        tables, _ = build_tables_device(obs, 4, 60, nmax=64, kmax=4)
         rv0 = rvec.at[1:].add(0.01)
         X0 = X + 0.03
         rv, tv, Xf, stats = run_large_ba(

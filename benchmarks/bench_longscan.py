@@ -28,8 +28,14 @@ LARGE = dict(
     use_pallas_matcher=True, detector_approx_topk=True,
     feature_dtype="bfloat16", ba_huber_delta=2.0,
     # keyframe cadence: the serpentine keeps entering fresh territory, so
-    # the track-ratio policy fires often; lag 2 admits ~1 KF / 2-3 frames
-    keyframe_time_lag=2,
+    # the track-ratio policy fires often; lag 2 admits ~1 KF / 2-3 frames.
+    # keyframe_min_tracked drops from the reference's 50 (CSfM.cpp:485 —
+    # tuned for orbiting a small object, where tracks stay dense) to
+    # ORB-SLAM's ~15-inlier floor: during exploration the track count
+    # RISES only after a keyframe triangulates fresh territory, so a high
+    # floor deadlocks map growth (measured: KFs freeze at 7 / 181
+    # landmarks and the scan starves by frame ~300)
+    keyframe_time_lag=2, keyframe_min_tracked=15,
     # windowed-local mapping BA through the device-table implicit-Schur
     # solver; only the most recent poses are free per pass
     ba_solver="large", ba_kmax=8, ba_iterations=4, ba_cg_iterations=12,
@@ -45,12 +51,23 @@ def serpentine_trajectory(n_frames, amp=5.0, period=256, drift=0.012,
     """Loopy lateral sweep: x oscillates (amplitude ``amp``) while y drifts
     slowly, so the camera revisits each x-column every ``period`` frames —
     the covisibility window must reconnect revisited regions to old
-    keyframes (TUM fr2/desk's loop structure, abstractly)."""
+    keyframes (TUM fr2/desk's loop structure, abstractly).
+
+    A deterministic handheld shake rides on top: at the sweep apexes the
+    serpentine's own velocity crosses zero, and a perfectly-still camera
+    sits below the engine's (reference-parity) 1.5 px min-match-motion
+    window for ~26 straight frames — longer than the 10-frame lost
+    tolerance.  Real handheld scans (the TUM workload this models) always
+    jitter; the shake is part of the GROUND-TRUTH poses used for both
+    rendering and ATE, so accuracy accounting stays honest."""
     from sfm_tpu.np_geometry import log_rotation
     rvecs, tvecs = [], []
     for k in range(n_frames):
         ph = 2 * np.pi * k / period
-        c = np.array([amp * np.sin(ph), drift * k, 0.0])
+        shake = np.array([0.028 * np.sin(2 * np.pi * k / 5.0),
+                          0.022 * np.sin(2 * np.pi * k / 7.0),
+                          0.012 * np.sin(2 * np.pi * k / 11.0)])
+        c = np.array([amp * np.sin(ph), drift * k, 0.0]) + shake
         yaw = -yaw_amp * np.cos(ph)  # gentle look-into-the-turn
         R = np.array([[np.cos(yaw), 0, -np.sin(yaw)],
                       [0, 1, 0],
@@ -60,6 +77,24 @@ def serpentine_trajectory(n_frames, amp=5.0, period=256, drift=0.012,
     return np.asarray(rvecs, np.float32), np.asarray(tvecs, np.float32)
 
 
+def make_scene(n_frames):
+    """The longscan scene + trajectory (shared with the diag scripts).
+
+    Sprite size 0.85 at depths 6-11 gives ~40-75 px apparent size —
+    comparable to the flagship scene's texture scale.  At the earlier 0.5
+    (~24-44 px) the descriptor sampling pattern spilled past sprite
+    borders onto parallax-shifting background, making descriptors
+    non-repeatable (median best-match Hamming 131 bits vs the 90 gate ->
+    triangulation yield 0 and map starvation)."""
+    from sfm_tpu.synthetic import SpriteScene
+    rng = np.random.default_rng(3)
+    scene = SpriteScene(rng, n_sprites=2600, spread=7.0, depth=(6.0, 11.0),
+                        sprite_size=0.85)
+    scene.centers[:, 1] = rng.uniform(-2.0, 2.0 + 0.012 * n_frames, 2600)
+    rvecs, tvecs = serpentine_trajectory(n_frames)
+    return scene, rvecs, tvecs
+
+
 def main(n_frames=1024):
     import jax
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
@@ -67,18 +102,13 @@ def main(n_frames=1024):
     import jax.numpy as jnp
     from sfm_tpu.config import SfMConfig
     from sfm_tpu.engine import SfMEngine
-    from sfm_tpu.synthetic import SpriteScene, umeyama_ate
+    from sfm_tpu.synthetic import umeyama_ate
     from sfm_tpu.np_geometry import rodrigues_np
 
     cfg = SfMConfig(**LARGE)
     K = np.array([[525.0, 0, 320.0], [0, 525.0, 240.0], [0, 0, 1]],
                  np.float32)
-    rng = np.random.default_rng(3)
-    # wide sprite field covering the serpentine's footprint
-    scene = SpriteScene(rng, n_sprites=1600, spread=7.0, depth=(6.0, 11.0),
-                        sprite_size=0.5)
-    scene.centers[:, 1] = rng.uniform(-2.0, 2.0 + 0.012 * n_frames, 1600)
-    rvecs, tvecs = serpentine_trajectory(n_frames)
+    scene, rvecs, tvecs = make_scene(n_frames)
 
     CHUNK = 16
     n_frames -= n_frames % CHUNK
@@ -96,6 +126,19 @@ def main(n_frames=1024):
     t0 = time.time()
     for s in range(CHUNK, n_frames, CHUNK):
         eng.add_frames(frames[s:s + CHUNK])
+        if (s // CHUNK) % 4 == 0:
+            recent = eng.metrics_log[-64:]
+            st = np.array([m["status"] for m in recent])
+            trk = np.array([m["n_tracked"] for m in recent])
+            mat = np.array([m["n_matches"] for m in recent])
+            print(f"  frame {s + CHUNK}: RUNNING "
+                  f"{100.0 * (st == 1).mean():.0f}% (last 64), "
+                  f"med tracked {int(np.median(trk))} "
+                  f"matches {int(np.median(mat))}, "
+                  f"{int(np.asarray(eng.state.kfs.valid).sum())} KFs, "
+                  f"{int(np.asarray(eng.state.lms.valid).sum())} lms, "
+                  f"{(time.time() - t0) / s * 1e3:.1f} ms/frame",
+                  file=sys.stderr)
     jax.block_until_ready(eng.state.status)
     dt = time.time() - t0
     timed = n_frames - CHUNK

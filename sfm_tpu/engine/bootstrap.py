@@ -127,20 +127,34 @@ def bootstrap_step(cfg: SfMConfig, cam: CameraParams, state: SfMState,
                                   cfg.desc_words)
             kfs, _ = insert_keyframe(kfs, prev_linked)
             kfs, _ = insert_keyframe(kfs, curr_posed)
-            # pair BA, gauge-fixed on keyframe 0 (CSfM.cpp:970)
-            obs = observations_from_keyframes(kfs, lms.valid)
-            cam_free = jnp.zeros(cfg.max_keyframes, bool).at[1].set(True)
-            rv, tv, xyz, stats = run_ba(
-                Kopt, kfs.frames.rvec, kfs.frames.tvec, lms.xyz, obs,
-                cam_free=cam_free, lm_free=lms.valid,
+            # pair BA, gauge-fixed on keyframe 0 (CSfM.cpp:970).  Run on
+            # COMPACT axes: the pair involves exactly 2 cameras and at
+            # most max_keypoints landmarks, while the dense solver
+            # materializes a [C, L, 6, 3] coupling — over the full
+            # capacities that is 2.4 GB at the 512-KF/64k-lm longscan
+            # config (compile-time OOM) and pure waste at any config
+            from ..ba.core import compact_ba_problem, scatter_back_landmarks
+            kfs2 = kfs._replace(
+                frames=jax.tree.map(lambda x: x[:2], kfs.frames),
+                valid=kfs.valid[:2])
+            obs = observations_from_keyframes(kfs2, lms.valid)
+            ba_xyz, ba_lm_free, ba_obs, inv = compact_ba_problem(
+                lms.xyz, lms.valid, obs, cfg.max_keypoints)
+            cam_free2 = jnp.zeros(2, bool).at[1].set(True)
+            rv2, tv2, xyz_c, stats = run_ba(
+                Kopt, kfs2.frames.rvec, kfs2.frames.tvec, ba_xyz, ba_obs,
+                cam_free=cam_free2, lm_free=ba_lm_free,
                 mode=BAMode.STRUCT_AND_POSE, iterations=cfg.ba_iterations,
                 lam0=cfg.ba_lambda_init, lam_up=cfg.ba_lambda_up,
                 lam_down=cfg.ba_lambda_down, huber_delta=cfg.ba_huber_delta,
                 tol=cfg.ba_tol)
-            kfs = kfs._replace(frames=kfs.frames._replace(rvec=rv, tvec=tv))
+            xyz = scatter_back_landmarks(lms.xyz, xyz_c, inv)
+            kfs = kfs._replace(frames=kfs.frames._replace(
+                rvec=kfs.frames.rvec.at[:2].set(rv2),
+                tvec=kfs.frames.tvec.at[:2].set(tv2)))
             lms2 = lms._replace(xyz=xyz, t_alive=lms.t_alive + lms.valid,
                                 kf_alive=lms.kf_alive + lms.valid)
-            new_prev = curr_posed._replace(rvec=rv[1], tvec=tv[1])
+            new_prev = curr_posed._replace(rvec=rv2[1], tvec=tv2[1])
             from ..mapstore import representative_descriptors
             st = state._replace(
                 status=jnp.asarray(RUNNING, jnp.int32),
@@ -157,7 +171,7 @@ def bootstrap_step(cfg: SfMConfig, cam: CameraParams, state: SfMState,
                 n_landmarks=jnp.sum(lms2.valid).astype(jnp.int32),
                 n_keyframes=jnp.asarray(2, jnp.int32),
                 keyframe_added=jnp.asarray(True),
-                rvec=rv[1], tvec=tv[1])
+                rvec=rv2[1], tvec=tv2[1])
             return st, m
 
         def failure(_):

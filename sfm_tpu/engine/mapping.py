@@ -81,6 +81,38 @@ def _window_slots(cfg: SfMConfig, kfs, new_slot, m: int, n_landmarks: int):
     return _recent_valid_slots(kfs, m)
 
 
+def _hybrid_slots(cfg: SfMConfig, kfs, new_slot, m: int, n_landmarks: int):
+    """Triangulation window: half most-RECENT keyframes, half most
+    covisible (deduped, recency first).
+
+    A pure covisibility window starves exploration: the new keyframe's
+    links are to OLD map points, so the top-covisible keyframes are the
+    ones that created those points — during a long sweep that is the
+    bootstrap era, which cannot see the frontier at all (measured on the
+    512-KF longscan: window = frames [143, 9, 3, 6, 1, 0, 15, 126] for a
+    frame-148 keyframe, triangulation yield 0).  The recent half always
+    covers the frontier; the covisible half keeps loop-closure
+    reconnection (tests/test_covisibility.py)."""
+    if not cfg.mapping_use_covisibility:
+        return _recent_valid_slots(kfs, m)
+    # floor-half recent: the recent head starts with the new keyframe
+    # itself (skipped by the pair loop), so covisible slots keep the
+    # majority — the loop-closure test's tiny 3-slot window still gets
+    # its two genuine covisible pairs
+    half = m // 2
+    r_slots, r_ok = _recent_valid_slots(kfs, m)
+    c_slots, c_ok = _covisible_slots(kfs, new_slot, m, n_landmarks)
+    r_head, rok_head = r_slots[:half], r_ok[:half]
+    dup = jnp.any((c_slots[:, None] == r_head[None, :]) & rok_head[None, :],
+                  axis=1)
+    cand = jnp.concatenate([r_head, c_slots])
+    ok = jnp.concatenate([rok_head, c_ok & ~dup])
+    # stable-select the first m valid candidates (recent half first)
+    order = jnp.where(ok, jnp.arange(cand.shape[0]), cand.shape[0])
+    pick = jnp.argsort(order)[:m]
+    return cand[pick].astype(jnp.int32), ok[pick]
+
+
 def _triangulate_all_pairs(cfg: SfMConfig, cam: CameraParams,
                            state: SfMState, new_slot) -> SfMState:
     """Batched CSfM.cpp:130-185: match unmatched(new KF) vs unmatched(the
@@ -90,7 +122,7 @@ def _triangulate_all_pairs(cfg: SfMConfig, cam: CameraParams,
     fr = kfs.frames
     Kn, N = fr.landmark.shape
     M = min(cfg.mapping_tri_keyframes + 1, Kn)  # +1: window includes newest
-    slots, slot_ok = _window_slots(cfg, kfs, new_slot, M, lms.valid.shape[0])
+    slots, slot_ok = _hybrid_slots(cfg, kfs, new_slot, M, lms.valid.shape[0])
     new_f = jax.tree.map(lambda x: x[new_slot], fr)
     tgt_valid = new_f.kp_valid & (new_f.landmark < 0)
     P_new = cam.Kopt @ projection_matrix(new_f.rvec, new_f.tvec)

@@ -194,6 +194,21 @@ def tracking_step(cfg: SfMConfig, cam: CameraParams, state: SfMState,
                 st = jax.lax.cond(slot >= 0,
                                   lambda s: mapping_fn(s, slot),
                                   lambda s: s, st)
+                # reference parity (CSfM.cpp:492): the track-ratio policy
+                # compares against the last keyframe's CURRENT matched
+                # count — which the mapping pass just enriched via
+                # triangulation + re-observation — not the pre-mapping
+                # snapshot.  The snapshot deadlocks exploration: a
+                # keyframe inserted at ~20 tracked followed by a mapping
+                # pass that lifts tracking to ~150 would block the next
+                # insertion until decay back below 18
+                fr2 = st.kfs.frames
+                safe_slot = jnp.maximum(slot, 0)
+                kf_links = jnp.sum(fr2.kp_valid[safe_slot]
+                                   & (fr2.landmark[safe_slot] >= 0))
+                st = st._replace(last_kf_tracked=jnp.where(
+                    slot >= 0, kf_links,
+                    st.last_kf_tracked).astype(jnp.int32))
             return st
 
         st = state._replace(lms=lms, key=key,

@@ -159,5 +159,5 @@ def build_dist_ba(mesh: Mesh, axis: str, n_cams: int, shard_size: int,
         body_shard, mesh=mesh,
         in_specs=(P(), P(), P(), P(axis), obs_spec, P(), P(axis)),
         out_specs=(P(), P(), P(axis),
-                   BAStats(P(), P(), P(), P())))
+                   BAStats(P(), P(), P(), P(), P())))
     return jax.jit(fn)

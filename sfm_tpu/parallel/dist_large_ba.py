@@ -166,5 +166,5 @@ def build_dist_large_ba(mesh: Mesh, axis: str, n_cams: int, shard_size: int,
     fn = shard_map(
         body_shard, mesh=mesh,
         in_specs=(P(), P(), P(), P(axis), tab_spec, P(), P(axis)),
-        out_specs=(P(), P(), P(axis), BAStats(P(), P(), P(), P())))
+        out_specs=(P(), P(), P(axis), BAStats(P(), P(), P(), P(), P())))
     return jax.jit(fn)

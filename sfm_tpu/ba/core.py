@@ -433,6 +433,34 @@ def observations_from_keyframes(kfs, lm_valid) -> Observations:
     )
 
 
+def observations_from_keyframe_window(kfs, lm_valid, slots, slot_ok
+                                      ) -> Observations:
+    """COO observations restricted to a keyframe-slot window [W].
+
+    The mapping-pass local BA frees only the recent poses; observations
+    from older keyframes merely anchor structure that the window also
+    sees — including them scales the (serialized-scatter) table build and
+    every landmark-side tensor with the FULL keyframe capacity.  Camera
+    indices remain original slot ids, so pose writeback is unchanged;
+    landmarks unobserved in the window get zero-weight rows and stay
+    fixed (ORB-SLAM's local-BA structure)."""
+    fr = kfs.frames
+    N = fr.landmark.shape[1]
+    lm_idx = fr.landmark[slots].reshape(-1)
+    uv = fr.xy[slots].reshape(-1, 2)
+    ok_row = kfs.valid[slots] & slot_ok                       # [W]
+    linked = (lm_idx >= 0) & fr.kp_valid[slots].reshape(-1)
+    linked = linked & jnp.repeat(ok_row, N)
+    safe = jnp.where(lm_idx >= 0, lm_idx, 0)
+    linked = linked & lm_valid[safe]
+    return Observations(
+        cam_idx=jnp.repeat(slots.astype(jnp.int32), N),
+        lm_idx=jnp.where(linked, lm_idx, 0),
+        uv=uv,
+        w=linked.astype(jnp.float32),
+    )
+
+
 def compact_landmarks(lm_valid, capacity: int):
     """Rank live landmark slots into a dense [capacity] range.
 

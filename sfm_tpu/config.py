@@ -122,6 +122,12 @@ class SfMConfig:
     # CMap.h:94-95) vs pure recency.  Covisibility reconnects revisited
     # regions to the old map after loops.
     mapping_use_covisibility: bool = True
+    # compact the landmark axis for the re-observation matcher to the
+    # landmarks visible in >= 1 window keyframe (0 = off, full axis).
+    # At 64k-slot maps the [L, n_kp] Hamming matrix dominates the mapping
+    # pass while only a few thousand landmarks are in view; overflow
+    # candidates skip re-observation this pass and retry next keyframe.
+    mapping_reobs_capacity: int = 0
 
     # ---- culling (ref: CMap.cpp:27-28, 384-404; CSfM.cpp:708-752) ----
     cull_min_views: int = 3            # landmark seen by < 3 KFs -> cull
@@ -173,6 +179,18 @@ class SfMConfig:
     global_ba_every: int = 0
     global_ba_iterations: int = 10
     global_ba_cg_iterations: int = 25
+    # observation slots per landmark for the GLOBAL BA tables (0 = use
+    # ba_kmax).  Long scans re-observe landmarks from many keyframes; the
+    # windowed-local BA can afford a small kmax, but dropping most of a
+    # landmark's observations from global BA weakens the pose graph
+    # (measured: 21k of ~48k observations dropped at kmax=8, 512-KF scan)
+    global_ba_kmax: int = 0
+    # robust-loss delta for GLOBAL BA (0 = use ba_huber_delta).  Global BA
+    # linearizes at an accumulated-drift state where genuine inliers can
+    # sit far beyond the local-BA delta; a tight Huber saturates their
+    # gradients and the solver stalls (measured: 0 accepted LM steps at
+    # cost 4.4e5 with delta=2 on the 512-KF longscan)
+    global_ba_huber_delta: float = 0.0
 
     # ---- scan guidance (ref: CScanGuidance.cpp:11-21) ----
     # guidance runs inside the jitted step on every RUNNING frame when the

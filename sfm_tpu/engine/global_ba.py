@@ -26,7 +26,8 @@ import jax.numpy as jnp
 
 from ..config import SfMConfig
 from ..ba.core import observations_from_keyframes
-from ..ba.large import build_tables_device, run_large_ba
+from ..ba.large import (ObsTables, build_lm_tables_device,
+                        build_tables_device, run_large_ba)
 from .state import SfMState, CameraParams
 
 
@@ -42,12 +43,20 @@ class _PlanLeaves(NamedTuple):
     base: jnp.ndarray
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def _build(cfg: SfMConfig, state: SfMState):
+@functools.partial(jax.jit, static_argnames=("cfg", "use_pallas"))
+def _build(cfg: SfMConfig, state: SfMState, use_pallas: bool):
     obs = observations_from_keyframes(state.kfs, state.lms.valid)
+    kmax = cfg.global_ba_kmax or cfg.ba_kmax
+    if use_pallas:
+        # fused path: camera-major tables are never read — skip their
+        # (serialized-scatter) build
+        lm_cam, lm_uv, lm_w, n_dropped = build_lm_tables_device(
+            obs, cfg.max_landmarks, kmax=kmax)
+        dummy = jnp.zeros((cfg.max_keyframes, 1), jnp.int32)
+        return ObsTables(lm_cam, lm_uv, lm_w, dummy, None, None), n_dropped
     return build_tables_device(
         obs, cfg.max_keyframes, cfg.max_landmarks,
-        nmax=cfg.max_keypoints, kmax=cfg.ba_kmax)  # -> (tables, n_dropped)
+        nmax=cfg.max_keypoints, kmax=kmax)  # -> (tables, n_dropped)
 
 
 @functools.partial(jax.jit,
@@ -72,7 +81,8 @@ def _solve(cfg: SfMConfig, state: SfMState, tables, n_dropped, plan_leaves,
         iterations=cfg.global_ba_iterations,
         cg_iterations=cfg.global_ba_cg_iterations,
         lam0=cfg.ba_lambda_init, lam_up=cfg.ba_lambda_up,
-        lam_down=cfg.ba_lambda_down, huber_delta=cfg.ba_huber_delta,
+        lam_down=cfg.ba_lambda_down,
+        huber_delta=cfg.global_ba_huber_delta or cfg.ba_huber_delta,
         tol=cfg.ba_tol, pallas_matvec=use_pallas, schur_plan=plan,
         pallas_tile=_TILE, fused_linearize=use_pallas)
     kfs = kfs._replace(frames=kfs.frames._replace(rvec=rv, tvec=tv))
@@ -89,7 +99,7 @@ def run_global_ba(cfg: SfMConfig, cam: CameraParams, state: SfMState,
 
     if use_pallas is None:
         use_pallas = cfg.use_pallas_ba
-    tables, n_dropped = _build(cfg, state)
+    tables, n_dropped = _build(cfg, state, use_pallas)
     leaves, window, pad_width = None, 0, 0
     if use_pallas:
         plan = SchurPlan(np.asarray(tables.lm_cam),

@@ -179,7 +179,11 @@ class SfMEngine:
             img = 0.299 * img[..., 0] + 0.587 * img[..., 1] \
                 + 0.114 * img[..., 2]
         self.state, metrics = self._step(self.state, img)
-        m = {k: np.asarray(v) for k, v in metrics._asdict().items()}
+        # one batched async fetch: per-leaf np.asarray serializes a
+        # device->host round-trip per field (~20 x RPC latency over a
+        # tunneled TPU)
+        fetched = jax.device_get(metrics)
+        m = dict(fetched._asdict())
         self.metrics_log.append(m)
         self._maybe_global_ba(int(m["keyframe_added"]))
         return m
@@ -191,13 +195,17 @@ class SfMEngine:
         if self._chunk_step is None:
             self._chunk_step = jax.jit(
                 build_video_step(self.config, self.cam), donate_argnums=(0,))
-        imgs = jnp.asarray(np.asarray(images, np.float32))
+        if isinstance(images, jax.Array):
+            imgs = images   # already staged on device — don't round-trip
+        else:
+            imgs = jnp.asarray(np.asarray(images, np.float32))
         if imgs.ndim == 4 and not self.config.guidance_enabled:
             imgs = 0.299 * imgs[..., 0] + 0.587 * imgs[..., 1] \
                 + 0.114 * imgs[..., 2]
         self.state, metrics = self._chunk_step(self.state, imgs)
         out = []
-        stacked = {k: np.asarray(v) for k, v in metrics._asdict().items()}
+        # batched async fetch — see add_frame
+        stacked = dict(jax.device_get(metrics)._asdict())
         for i in range(imgs.shape[0]):
             out.append({k: v[i] for k, v in stacked.items()})
         self.metrics_log.extend(out)

@@ -21,8 +21,53 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_cpu")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
 
+import json
+
 import numpy as np
 import pytest
+
+# ---------------------------------------------------------------------------
+# fast/slow markers from recorded durations (VERDICT round 2 item 9):
+#   pytest -m fast   -> unit-level suite, target < 3 min
+#   pytest           -> everything (CI)
+# tests/durations.json maps nodeid -> seconds (setup + call); regenerate
+# with RECORD_DURATIONS=1 python -m pytest tests/ -q.  Unknown tests
+# default to fast, so new tests join the quick loop until re-recorded.
+# ---------------------------------------------------------------------------
+
+_DUR_FILE = os.path.join(os.path.dirname(__file__), "durations.json")
+_SLOW_SECONDS = 5.0
+_recorded = {}
+
+
+def pytest_configure(config):
+    config.addinivalue_line("markers", "fast: unit-level test (< ~5 s)")
+    config.addinivalue_line("markers", "slow: heavy integration test")
+
+
+def pytest_collection_modifyitems(config, items):
+    try:
+        with open(_DUR_FILE) as f:
+            durations = json.load(f)
+    except OSError:
+        durations = {}
+    for item in items:
+        if durations.get(item.nodeid, 0.0) > _SLOW_SECONDS:
+            item.add_marker(pytest.mark.slow)
+        else:
+            item.add_marker(pytest.mark.fast)
+
+
+def pytest_runtest_logreport(report):
+    if report.when in ("setup", "call"):
+        _recorded[report.nodeid] = _recorded.get(report.nodeid, 0.0) \
+            + report.duration
+
+
+def pytest_sessionfinish(session, exitstatus):
+    if os.environ.get("RECORD_DURATIONS"):
+        with open(_DUR_FILE, "w") as f:
+            json.dump(dict(sorted(_recorded.items())), f, indent=0)
 
 
 @pytest.fixture

@@ -79,6 +79,13 @@ def main():
         scene.render(K, base_r, base_t - np.array([zig[i], 0, 0],
                                                   np.float32), 480, 640)
         for i in range(CHUNK)]))
+    # suppress keyframe insertion during the timed chunks: the track-ratio
+    # policy (tracked < 0.9x the last keyframe's enriched link count)
+    # correctly keeps firing while the zig-zag revisits the same view, but
+    # a mapping+BA pass inside a timed chunk would contaminate the pure-
+    # tracking number.  Zeroing the reference count makes 'losing' false
+    # for every timed frame; the engine is otherwise untouched.
+    state = state._replace(last_kf_tracked=jnp.asarray(0, jnp.int32))
     pure_times = []
     pure_statuses = []
     for _ in range(4):
@@ -106,12 +113,15 @@ def main():
     n_kf = int(chunk_kfs.sum())
     track_ms = float(np.median(pure_times))
     amort_ms = float(np.mean(times))
-    # per-mapping-pass cost from the chunk time difference
-    with_kf = times[chunk_kfs > 0]
+    # per-mapping-pass cost from main-chunk time differences (chunks with
+    # more/fewer keyframes); the timed zig-zag chunks are NOT a valid
+    # baseline — their per-frame tracking cost differs (larger live map)
     map_ms = 0.0
-    if len(with_kf):
-        map_ms = (np.mean(with_kf) - track_ms) * CHUNK / max(
-            chunk_kfs[chunk_kfs > 0].mean(), 1)
+    with_kf = times[chunk_kfs > 0]
+    without_kf = times[chunk_kfs == 0]
+    if len(with_kf) and len(without_kf):
+        map_ms = max(0.0, (np.mean(with_kf) - np.mean(without_kf))
+                     * CHUNK / max(chunk_kfs[chunk_kfs > 0].mean(), 1))
     fps = 1.0 / track_ms
     n_run = int((statuses == 1).sum())
     print(f"running frames: {n_run}/{len(statuses)}, keyframes: {n_kf}, "
@@ -123,6 +133,9 @@ def main():
     from sfm_tpu.synthetic import umeyama_ate
     from sfm_tpu.np_geometry import rodrigues_np
     kf_valid = np.asarray(state.kfs.valid)
+    # only main-trajectory keyframes have ground truth (the timed zig-zag
+    # phase is keyframe-suppressed, but guard the lookup anyway)
+    kf_valid = kf_valid & (np.asarray(state.kfs.frames.frame_no) < n_frames)
     if kf_valid.sum() >= 3:
         fns = np.asarray(state.kfs.frames.frame_no)[kf_valid]
         rv = np.asarray(state.kfs.frames.rvec)[kf_valid]

@@ -14,6 +14,7 @@ scaling-efficiency curve recorded in docs/DIST_BA_SCALING.md.
 python benchmarks/bench_dist_model.py
 """
 
+import json
 import os
 import sys
 import time
@@ -56,7 +57,11 @@ def make_shard(rng, L):
 
 def bench_shard(L):
     rng = np.random.default_rng(0)
+    t0 = time.time()
     lm_cam, lm_uv, lm_w = make_shard(rng, L)
+    print(f"L={L}: tables built in {time.time()-t0:.1f}s",
+          file=sys.stderr, flush=True)
+    t0 = time.time()
     K = jnp.asarray(np.array([[525.0, 0, 320], [0, 525.0, 240], [0, 0, 1]],
                              np.float32))
     rvec = jnp.asarray(rng.normal(0, 0.05, (C, 3)).astype(np.float32))
@@ -72,13 +77,18 @@ def bench_shard(L):
                           pad_width=plan.pad_width)
     R = exp_so3(rvec)
     ones_c, ones_l = jnp.ones(C), jnp.ones(L)
+    print(f"L={L}: plan built in {time.time()-t0:.1f}s "
+          f"(window {plan.window})", file=sys.stderr, flush=True)
 
     @jax.jit
     def lin():
         return fused_blocks(K, R, tvec, xyz[jnp.asarray(perm)],
                             ones_l, ones_c, lt)
 
+    t0 = time.time()
     wt, vg_t, U, g_cam, cost = jax.block_until_ready(lin())
+    print(f"L={L}: linearize compiled+run in {time.time()-t0:.1f}s",
+          file=sys.stderr, flush=True)
     t0 = time.time()
     for _ in range(10):
         out = jax.block_until_ready(lin())
@@ -94,7 +104,10 @@ def bench_shard(L):
     def apply(x):
         return op.w_vinv_wt_x(x)
 
+    t0 = time.time()
     y = jax.block_until_ready(apply(x))
+    print(f"L={L}: apply compiled+run in {time.time()-t0:.1f}s",
+          file=sys.stderr, flush=True)
     t0 = time.time()
     for _ in range(20):
         y = jax.block_until_ready(apply(y * 1e-3))
@@ -106,9 +119,13 @@ def bench_shard(L):
 
 
 def main():
+    sizes = [int(a) for a in sys.argv[1:]] or \
+        [65536, 131072, 262144, 524288, 1048576]
     results = {}
-    for L in (65536, 131072, 262144, 524288, 1048576):
+    for L in sizes:
         results[L] = bench_shard(L)
+        print(json.dumps({str(k): v for k, v in results.items()}),
+              file=sys.stderr, flush=True)  # partial results survive kills
 
     # scaling model: per CG iter, T(N) = t_apply(L_tot/N) + t_allreduce
     # ICI all-reduce of 24*C bytes: latency-dominated at this size.

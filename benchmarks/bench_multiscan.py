@@ -79,10 +79,12 @@ def main(batch=64, n_frames=48, flagship=False):
     T = cfg.keyframe_time_lag  # chunk length (max for one pending slot)
     n_frames -= n_frames % T
     print("rendering frames...", file=sys.stderr)
+    # stage uint8: 4x less HBM (the driver casts to f32 on device) —
+    # at flagship resolution the staged f32 chunks alone OOM'd the chip
     all_chunks = [jnp.asarray(np.stack([np.stack(
         [s.render(K, trajs[b][0][c * T + i], trajs[b][1][c * T + i],
                   h, w) for b, s in enumerate(scenes)])
-        for i in range(T)])) for c in range(n_frames // T)]
+        for i in range(T)]).astype(np.uint8)) for c in range(n_frames // T)]
     jax.block_until_ready(all_chunks)
 
     # compile ALL dispatch paths up front (a cold cache would otherwise

@@ -70,11 +70,22 @@ class MultiScanDriver:
         self.cfg = cfg
         self.batch = batch
         self.bucket = bucket
-        track_step = build_step(cfg, cam, defer_mapping=True,
-                                fleet_tracking_only=True)
+        _track = build_step(cfg, cam, defer_mapping=True,
+                            fleet_tracking_only=True)
+        _full = build_step(cfg, cam, defer_mapping=True)
+
+        # frames may be staged in uint8 (4x less HBM + host->device
+        # traffic than f32 — at flagship resolution a 64-scan fleet's
+        # staged chunks would otherwise dominate device memory); cast
+        # on device at use
+        def track_step(state, image):
+            return _track(state, image.astype(jnp.float32))
+
+        def full_step(state, image):
+            return _full(state, image.astype(jnp.float32))
+
         self._track_step = jax.jit(jax.vmap(track_step),
                                    donate_argnums=(0,))
-        full_step = build_step(cfg, cam, defer_mapping=True)
 
         def full_bucket(states, idx, images):
             sub = jax.tree.map(lambda x: x[idx], states)

@@ -29,7 +29,6 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 
 import jax.numpy as jnp
 
-from sfm_tpu.ba.large import Observations, build_lm_tables_device
 from sfm_tpu.ba.linearize_pallas import (build_lin_tables, fused_blocks,
                                          damped_vinv_tiled)
 from sfm_tpu.ba.schur_pallas import SchurOperator, SchurPlan, pack_lm_tiles
@@ -43,16 +42,15 @@ TILE = 2048
 def make_shard(rng, L):
     """A shard-local synthetic problem with realistic camera locality:
     each landmark is seen by KMAX consecutive cameras around a home
-    camera proportional to its index (serpentine-scan structure)."""
+    camera proportional to its index (serpentine-scan structure).  The
+    landmark-major tables are constructed directly (every landmark has
+    exactly KMAX observations) — build_lm_tables_device is general
+    scatter machinery and takes minutes at this scale on one chip."""
     home = (np.arange(L) * (C - KMAX) // L).astype(np.int32)
     lm_cam = home[:, None] + np.arange(KMAX)[None, :].astype(np.int32)
-    cam_idx = jnp.asarray(lm_cam.reshape(-1))
-    lm_idx = jnp.asarray(np.repeat(np.arange(L, dtype=np.int32), KMAX))
-    uv = jnp.asarray(rng.uniform(0, 640, (L * KMAX, 2)).astype(np.float32))
-    w = jnp.ones((L * KMAX,), jnp.float32)
-    obs = Observations(cam_idx, lm_idx, uv, w)
-    lm_cam_t, lm_uv, lm_w, _ = build_lm_tables_device(obs, L, KMAX)
-    return np.asarray(lm_cam_t), np.asarray(lm_uv), np.asarray(lm_w)
+    lm_uv = rng.uniform(0, 640, (L, KMAX, 2)).astype(np.float32)
+    lm_w = np.ones((L, KMAX), np.float32)
+    return lm_cam, lm_uv, lm_w
 
 
 def bench_shard(L):

@@ -182,6 +182,48 @@ class TestMultiScanDriver:
         assert (np.asarray(drv.states.pending_map_slot) == -1).all()
         assert np.asarray(m.n_keyframes).max() >= 3
 
+    def test_uint8_staging_matches_f32(self, rng):
+        """Fleet frames may be staged uint8 (4x less HBM; the driver casts
+        on device).  Integer-valued frames must produce identical engine
+        state either way."""
+        import jax
+        import jax.numpy as jnp
+        from sfm_tpu.config import SfMConfig
+        from sfm_tpu.engine.state import CameraParams
+        from sfm_tpu.parallel.multiscan import MultiScanDriver
+        from render import SpriteScene, strafe_trajectory
+
+        cfg = SfMConfig(max_keypoints=96, max_keyframes=4, max_landmarks=256,
+                        image_height=120, image_width=160, pyramid_levels=2,
+                        ransac_hypotheses=32, pnp_hypotheses=16,
+                        ba_iterations=3, keyframe_min_tracked=10,
+                        keyframe_time_lag=4, min_init_matches=15,
+                        mapping_tri_keyframes=2, mapping_reobs_keyframes=2)
+        K = np.array([[130., 0, 80], [0, 130., 60], [0, 0, 1]], np.float32)
+        cam = CameraParams(K=jnp.asarray(K), d=jnp.zeros(5),
+                           Kopt=jnp.asarray(K))
+        B, T = 2, 4
+        scenes = [SpriteScene(np.random.default_rng(20 + b), n_sprites=80)
+                  for b in range(B)]
+        rv, tv = strafe_trajectory(8, step=0.08)
+        chunks = [np.stack([
+            np.stack([np.floor(s.render(K, rv[c * T + i], tv[c * T + i],
+                                        120, 160))
+                      for s in scenes]) for i in range(T)])
+            for c in range(2)]                          # integer-valued f32
+        out = []
+        for dtype in (np.float32, np.uint8):
+            drv = MultiScanDriver(cfg, cam, batch=B, bucket=2)
+            for ch in chunks:
+                drv.step_chunk(jnp.asarray(ch.astype(dtype)))
+            out.append(jax.device_get(drv.states))
+        f32_state, u8_state = out
+        np.testing.assert_array_equal(np.asarray(u8_state.status),
+                                      np.asarray(f32_state.status))
+        np.testing.assert_allclose(np.asarray(u8_state.prev.tvec),
+                                   np.asarray(f32_state.prev.tvec),
+                                   atol=1e-6)
+
 
 class TestDistLargeBA:
     def test_parity_with_single_device_large(self, rng):

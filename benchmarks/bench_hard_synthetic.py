@@ -35,13 +35,12 @@ def main(n_frames=80):
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
     import jax.numpy as jnp
     import __graft_entry__ as g
-    from sfm_tpu.config import SfMConfig
     from sfm_tpu.engine import SfMEngine
     from sfm_tpu.np_geometry import rodrigues_np
     from sfm_tpu.synthetic import (SpriteScene, degrade, strafe_trajectory,
                                    umeyama_ate)
 
-    cfg = SfMConfig(**g.FLAGSHIP)
+    cfg = g._flagship_cfg()  # platform guard: Pallas BA off when not on TPU
     K = np.array([[525.0, 0, 320.0], [0, 525.0, 240.0], [0, 0, 1]],
                  np.float32)
     rng = np.random.default_rng(11)

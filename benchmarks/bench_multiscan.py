@@ -21,6 +21,27 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir))
 import numpy as np
 
 
+def _single_scan_rates():
+    """(amortized_fps, tracking_fps) of the matched single-scan flagship
+    from docs/results.json, falling back to the last recorded constants."""
+    import re
+    amort, track = 182.1, 149.1
+    path = os.path.join(os.path.dirname(__file__), os.pardir, "docs",
+                        "results.json")
+    try:
+        with open(path) as f:
+            rows = json.load(f)
+        m = re.match(r"([\d.]+) fps", rows["amortized_fps"]["value"])
+        if m:
+            amort = float(m.group(1))
+        m = re.match(r"([\d.]+) fps", rows["tracking_fps"]["value"])
+        if m:
+            track = float(m.group(1))
+    except (OSError, KeyError, ValueError):
+        pass
+    return amort, track
+
+
 def main(batch=64, n_frames=48, flagship=False):
     import jax
     import jax.numpy as jnp
@@ -107,12 +128,14 @@ def main(batch=64, n_frames=48, flagship=False):
     wl = (f"flagship {h}x{w}/{cfg.max_keypoints}kp" if flagship
           else f"{h}x{w}/{cfg.max_keypoints}kp")
     if flagship:
-        # matched single-scan rates from docs/results.json (bench.py):
+        # matched single-scan rates, loaded from docs/results.json at
+        # runtime so regenerated bench.py numbers propagate (ADVICE r3);
         # the multiple that matters is aggregate vs the amortized
         # single-scan rate on the SAME workload
-        print(f"vs single-scan amortized 182.1 fps: "
-              f"{agg_fps / 182.1:.2f}x; vs pure tracking 149.1 fps: "
-              f"{agg_fps / 149.1:.2f}x", file=sys.stderr)
+        amort, track = _single_scan_rates()
+        print(f"vs single-scan amortized {amort:.1f} fps: "
+              f"{agg_fps / amort:.2f}x; vs pure tracking {track:.1f} fps: "
+              f"{agg_fps / track:.2f}x", file=sys.stderr)
     print(json.dumps({
         "metric": "multiscan_frames_per_sec",
         "value": round(agg_fps, 1),

@@ -51,6 +51,16 @@ def splice(path, text):
     print(f"rendered {path}")
 
 
+def render():
+    """Regenerate the README / BENCH_NOTES tables from results.json
+    (called by bench.py after it records a run)."""
+    results = load()
+    order = [k for k in results]
+    text = table(results, order)
+    splice(os.path.join(ROOT, "README.md"), text)
+    splice(os.path.join(ROOT, "docs", "BENCH_NOTES.md"), text)
+
+
 def main():
     if len(sys.argv) >= 5 and sys.argv[1] == "--set":
         key, field, value = sys.argv[2], sys.argv[3], " ".join(sys.argv[4:])
@@ -58,11 +68,7 @@ def main():
         results.setdefault(key, {})[field] = value
         with open(RESULTS, "w") as f:
             json.dump(results, f, indent=2)
-    results = load()
-    order = [k for k in results]
-    text = table(results, order)
-    splice(os.path.join(ROOT, "README.md"), text)
-    splice(os.path.join(ROOT, "docs", "BENCH_NOTES.md"), text)
+    render()
 
 
 if __name__ == "__main__":

@@ -99,6 +99,15 @@ class SfMConfig:
     flow_assoc_dist: float = 2.0       # flow-endpoint -> detection gate, px
                                        # (ref _maxOrgFeatDist=1, CTracker.cpp:33)
 
+    # compact the candidate-landmark axis for the per-frame widen_tracks
+    # matcher (findMapPointsInCurrentFrame) to the landmarks actually
+    # projecting into the frame, over a dense axis of this static capacity
+    # (0 = off, full landmark axis).  The [L, n_kp] Hamming matrix is the
+    # per-frame matcher's dominant cost at large L while only a few
+    # thousand landmarks are in view; overflow candidates skip widening
+    # this frame (opportunistic, they retry next frame).
+    track_widen_capacity: int = 0
+
     # ---- keyframe policy (ref: CSfM.cpp:44, 481-498) ----
     keyframe_time_lag: int = 10        # min frames between keyframes
     keyframe_min_tracked: int = 50     # min tracked points to insert

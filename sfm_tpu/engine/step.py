@@ -113,17 +113,58 @@ def build_step(cfg: SfMConfig, cam: CameraParams, defer_mapping: bool = False,
     return step
 
 
-def build_video_step(cfg: SfMConfig, cam: CameraParams):
+def build_video_step(cfg: SfMConfig, cam: CameraParams,
+                     defer_mapping: bool = False):
     """Chunked video driver: one jitted call processes a whole [T, H, W]
     frame chunk via lax.scan over the per-frame step.  Amortizes host
     dispatch and host->device transfer over T frames — the throughput mode
-    for offline scans (the per-frame API remains for live tracking)."""
-    step = build_step(cfg, cam)
+    for offline scans (the per-frame API remains for live tracking).
+
+    defer_mapping=True records pending keyframe slots instead of running
+    the mapping pass inline; pair with build_mapping_step dispatched by the
+    host after each chunk (chunk length must be <= cfg.keyframe_time_lag
+    so at most one keyframe is pending per chunk).  Splitting the mapping
+    pass out of the scanned per-frame program cuts its XLA compile time
+    ~5x (the inline lax.cond(mapping) inside the scan body dominated the
+    619 s cold compile, BENCH_r03 / VERDICT r3 item 2)."""
+    step = build_step(cfg, cam, defer_mapping=defer_mapping)
 
     def run_chunk(state: SfMState, images: jnp.ndarray):
         return jax.lax.scan(step, state, images)
 
     return run_chunk
+
+
+def build_mapping_step(cfg: SfMConfig, cam: CameraParams):
+    """Host-dispatched mapping pass for the deferred-mapping chunked mode:
+    runs mapping on the pending keyframe slot (no-op when none pending)
+    and clears the slot."""
+    def run_map(state: SfMState, slot) -> SfMState:
+        st = mapping_pass(cfg, cam, state, slot)
+        # write the BA-optimized keyframe pose back into the reference
+        # frame when it IS the keyframe (CSfM.cpp:261 parity — the inline
+        # path does this inside tracking_step)
+        fr = st.kfs.frames
+        match = st.kfs.valid[slot] & (fr.frame_no[slot]
+                                      == st.prev.frame_no)
+        prev = st.prev._replace(
+            rvec=jnp.where(match, fr.rvec[slot], st.prev.rvec),
+            tvec=jnp.where(match, fr.tvec[slot], st.prev.tvec))
+        # refresh the keyframe-policy reference count from the enriched
+        # links (see tracking_step's inline-path comment)
+        kf_links = jnp.sum(fr.kp_valid[slot] & (fr.landmark[slot] >= 0))
+        return st._replace(prev=prev,
+                           last_kf_tracked=kf_links.astype(jnp.int32))
+
+    def map_step(state: SfMState) -> SfMState:
+        slot = state.pending_map_slot
+        state = jax.lax.cond(
+            slot >= 0,
+            lambda s: run_map(s, jnp.maximum(slot, 0)),
+            lambda s: s, state)
+        return state._replace(pending_map_slot=jnp.asarray(-1, jnp.int32))
+
+    return map_step
 
 
 class SfMEngine:

@@ -51,14 +51,30 @@ def widen_tracks(cfg: SfMConfig, cam: CameraParams, lms, curr, rep):
               (proj[:, 1] >= 0) & (proj[:, 1] < H) & (depth > 0))
     cand = lms.valid & ~already & in_img
 
+    Lc = cfg.track_widen_capacity
+    if 0 < Lc < L:
+        # compact the source axis to the in-view candidates: the matcher's
+        # [L, n_kp] Hamming matrix dominates this per-frame pass at large
+        # landmark capacities while only a few thousand landmarks project
+        # into the frame.  Overflow candidates skip widening this frame
+        # (opportunistic — they retry next frame / at the mapping pass).
+        from ..ba.core import compact_landmarks
+        _, inv = compact_landmarks(cand, Lc)
+        sel = jnp.where(inv >= 0, inv, 0)
+        rep_m, proj_m = rep[sel], proj[sel]
+        cand_m = inv >= 0
+        lm_ids = jnp.where(inv >= 0, inv, L)  # L = OOB drop sentinel
+    else:
+        rep_m, proj_m, cand_m = rep, proj, cand
+        lm_ids = jnp.arange(L, dtype=jnp.int32)
+
     tgt_valid = curr.kp_valid & ~(curr.landmark >= 0)
     res = _map_matcher(cfg)(
-        rep, proj, cand, curr.desc, curr.xy, tgt_valid,
+        rep_m, proj_m, cand_m, curr.desc, curr.xy, tgt_valid,
         min_radius=0.0, max_radius=cfg.max_reproj_error,
         max_distance=cfg.match_max_distance, ratio=cfg.match_ratio,
-        window_center0=proj)
+        window_center0=proj_m)
     ok = res.mask
-    lm_ids = jnp.arange(L, dtype=jnp.int32)
     new_landmark = curr.landmark.at[
         jnp.where(ok, res.idx, curr.landmark.shape[0])].set(
             lm_ids, mode="drop")

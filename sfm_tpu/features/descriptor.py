@@ -1,24 +1,27 @@
 """Oriented 512-bit binary descriptor, MXU-formulated.
 
 TPU-native replacement for brisk::BriskDescriptorExtractor (rotation- and
-scale-invariant, 512-bit; CTracker.cpp:44-45).  Semantics: BRIEF-style
-intensity comparisons on a fixed seeded sampling pattern, steered by the
+scale-invariant, 512-bit; CTracker.cpp:44-45).  Semantics: BRISK-style
+intensity comparisons on a fixed polar sampling pattern, steered by the
 intensity-centroid orientation, sampled at the keypoint's pyramid level.
 
 Formulation: gathers are poison on TPU, so sampling is restructured as
 matrix multiplies —
- 1. one contiguous dynamic-slice patch per keypoint (from the smoothed
-    pyramid level), then a 4-tap lerp centers the patch on the subpixel
-    keypoint position;
+ 1. subpixel-centered patches via two bilinear-selection matmuls against
+    the smoothed pyramid canvas (_patches_matmul);
  2. orientation = intensity centroid of the patch via two dense moment
     masks (a matvec, no gathers);
- 3. the continuous rotation is quantized to N_BINS steered copies of the
-    sampling pattern; each bin's (pair_a - pair_b) bilinear weights form a
-    precomputed [bits, patch_pixels] matrix, and descriptor bits are the
-    sign of per-bin masked matmuls  patch_flat @ W_bin^T  on the MXU.
-The 11.25-degree quantization costs ~2-3 bits of descriptor noise, far
-below the cross-frame sampling noise, and turns ~600k scattered loads per
-frame into 32 dense matmuls."""
+ 3. the patch is resampled onto a POLAR grid (N_RAD rings x N_PHI angles,
+    BRISK's concentric-ring layout) with one fixed bilinear matmul;
+    rotation steering is then a per-keypoint CIRCULAR SHIFT along the
+    angle axis (a tiny [N_PHI, N_PHI] one-hot batched matmul), and the
+    descriptor bits are signs of fixed sample-pair differences — one
+    [polar_samples, bits] matmul.
+The polar-shift steering replaces an earlier 32-bin masked-matmul design
+that computed every keypoint's bits under all 32 rotation bins (32x the
+needed MXU work — ~85 ms of a 2.1 s fleet tracking chunk, round-4 trace);
+angle quantization is the same 360/N_PHI = 11.25 degrees, costing ~2-3
+bits of descriptor noise, far below the cross-frame sampling noise."""
 
 from __future__ import annotations
 
@@ -31,16 +34,17 @@ from .bits import pack_bits
 
 PATCH_RADIUS = 16            # sampling pattern support, pixels
 PATCH = 2 * PATCH_RADIUS + 1  # 33: centered patch side
-N_BINS = 32                  # orientation quantization bins
+N_PHI = 32                   # polar angle samples (= rotation quantization)
+N_RAD = 16                   # polar rings
 
 
-def _make_pattern(bits: int, seed: int = 17) -> np.ndarray:
-    """[bits, 2, 2] sampling-pair offsets (x, y), clipped Gaussian (BRIEF-G2)."""
+def _make_pairs(bits: int, n_samples: int, seed: int = 17) -> np.ndarray:
+    """[bits, 2] comparison-pair indices into the polar sample set."""
     rng = np.random.default_rng(seed)
-    sigma = PATCH_RADIUS / 2.5
-    pts = rng.normal(0.0, sigma, size=(bits, 2, 2))
-    return np.clip(pts, -PATCH_RADIUS + 1.5, PATCH_RADIUS - 1.5).astype(
-        np.float32)
+    ii = rng.integers(0, n_samples, bits)
+    jj = rng.integers(0, n_samples, bits)
+    jj = np.where(jj == ii, (jj + 1) % n_samples, jj)
+    return np.stack([ii, jj], 1).astype(np.int32)
 
 
 def _bilinear_weight_rows(pts: np.ndarray) -> np.ndarray:
@@ -66,26 +70,31 @@ _CACHE = {}
 
 
 def _tables(bits: int):
-    """Precomputed (numpy) per-bin comparison-weight matrices and the
-    orientation moment masks.  Cached as numpy so no tracer can leak."""
+    """Precomputed (numpy) polar-resampling / pair-difference matrices and
+    the orientation moment masks.  Cached as numpy so no tracer can leak.
+
+    Returns (Wpol [N_RAD*N_PHI, PATCH^2] bilinear polar-grid sampling,
+    Dsel [bits, N_RAD*N_PHI] +/-1 pair-difference selection, mx, my)."""
     if bits in _CACHE:
         return _CACHE[bits]
-    pattern = _make_pattern(bits)                      # [bits, 2, 2]
-    Wbins = np.zeros((N_BINS, bits, PATCH * PATCH), np.float32)
-    for b in range(N_BINS):
-        th = 2.0 * np.pi * b / N_BINS
-        rot = np.array([[np.cos(th), -np.sin(th)],
-                        [np.sin(th), np.cos(th)]], np.float32)
-        pa = pattern[:, 0, :] @ rot.T
-        pb = pattern[:, 1, :] @ rot.T
-        Wbins[b] = _bilinear_weight_rows(pa) - _bilinear_weight_rows(pb)
+    radii = np.geomspace(1.5, PATCH_RADIUS - 1.5, N_RAD)
+    ang = 2.0 * np.pi * np.arange(N_PHI) / N_PHI
+    xs = radii[:, None] * np.cos(ang)[None, :]         # [N_RAD, N_PHI]
+    ys = radii[:, None] * np.sin(ang)[None, :]
+    pts = np.stack([xs.reshape(-1), ys.reshape(-1)], 1).astype(np.float32)
+    Wpol = _bilinear_weight_rows(pts)                  # [S, PATCH^2]
+    S = N_RAD * N_PHI
+    pairs = _make_pairs(bits, S)
+    Dsel = np.zeros((bits, S), np.float32)
+    Dsel[np.arange(bits), pairs[:, 0]] += 1.0
+    Dsel[np.arange(bits), pairs[:, 1]] -= 1.0
     # orientation disc moment masks (intensity centroid, ORB-style)
-    ys, xs = np.mgrid[-PATCH_RADIUS:PATCH_RADIUS + 1,
-                      -PATCH_RADIUS:PATCH_RADIUS + 1]
-    disc = (xs ** 2 + ys ** 2 <= 7 ** 2).astype(np.float32)
-    mx = (xs * disc).reshape(-1).astype(np.float32)
-    my = (ys * disc).reshape(-1).astype(np.float32)
-    _CACHE[bits] = (Wbins, mx, my)
+    ys2, xs2 = np.mgrid[-PATCH_RADIUS:PATCH_RADIUS + 1,
+                        -PATCH_RADIUS:PATCH_RADIUS + 1]
+    disc = (xs2 ** 2 + ys2 ** 2 <= 7 ** 2).astype(np.float32)
+    mx = (xs2 * disc).reshape(-1).astype(np.float32)
+    my = (ys2 * disc).reshape(-1).astype(np.float32)
+    _CACHE[bits] = (Wpol, Dsel, mx, my)
     return _CACHE[bits]
 
 
@@ -144,10 +153,12 @@ def extract_patches(pyr_s: jnp.ndarray, level_xy: jnp.ndarray,
 def orientation_from_patches(patches: jnp.ndarray, bits: int = 512
                              ) -> jnp.ndarray:
     """Intensity-centroid angle per patch: atan2(m01, m10)."""
-    _, mx, my = _tables(bits)
+    _, _, mx, my = _tables(bits)
     flat = patches.reshape(patches.shape[0], -1)
-    m10 = flat @ jnp.asarray(mx)
-    m01 = flat @ jnp.asarray(my)
+    m10 = jnp.dot(flat, jnp.asarray(mx, flat.dtype),
+                  preferred_element_type=jnp.float32)
+    m01 = jnp.dot(flat, jnp.asarray(my, flat.dtype),
+                  preferred_element_type=jnp.float32)
     return jnp.arctan2(m01, m10)
 
 
@@ -162,27 +173,47 @@ def _bits_from_patches(patches: jnp.ndarray, desc_bits: int,
                        compute_dtype=None) -> jnp.ndarray:
     """Orientation-steered comparison bits from centered patches [N,P,P].
 
-    compute_dtype=bfloat16 halves the HBM/MXU cost of the 32 bin matmuls;
-    descriptor bits are signs of weighted intensity differences, so bf16
-    rounding only flips near-zero comparisons (noise far below the
-    cross-frame sampling noise)."""
+    Polar-shift steering: resample each patch onto the polar grid (one
+    fixed bilinear matmul), circular-shift the angle axis by the quantized
+    orientation (a per-keypoint [N_PHI, N_PHI] one-hot batched matmul),
+    and take signs of fixed sample-pair differences (one matmul).
+
+    compute_dtype=bfloat16 halves the HBM/MXU cost of the matmuls;
+    descriptor bits are signs of intensity differences, so bf16 rounding
+    only flips near-zero comparisons (noise far below the cross-frame
+    sampling noise)."""
+    N = patches.shape[0]
     theta = orientation_from_patches(patches, desc_bits)
-    bin_idx = jnp.round(theta / (2.0 * jnp.pi / N_BINS)).astype(jnp.int32) \
-        % N_BINS
-    Wbins_np, _, _ = _tables(desc_bits)
-    flat = patches.reshape(patches.shape[0], -1)       # [N, PATCH^2]
-    Wbins = jnp.asarray(Wbins_np)                      # [B, bits, PATCH^2]
+    shift = jnp.round(theta / (2.0 * jnp.pi / N_PHI)).astype(jnp.int32) \
+        % N_PHI
+    Wpol_np, Dsel_np, _, _ = _tables(desc_bits)
+    flat = patches.reshape(N, -1)                      # [N, PATCH^2]
+    Wpol = jnp.asarray(Wpol_np)                        # [S, PATCH^2]
+    Dsel = jnp.asarray(Dsel_np)                        # [bits, S]
     if compute_dtype is not None:
         flat = flat.astype(compute_dtype)
-        Wbins = Wbins.astype(compute_dtype)
-    acc = jnp.zeros((flat.shape[0], desc_bits), jnp.float32)
-    for b in range(N_BINS):
-        sel = (bin_idx == b).astype(flat.dtype)[:, None]
-        acc = acc + jax.lax.dot_general(
-            flat * sel, Wbins[b],
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
-    return pack_bits(acc > 0)
+        Wpol = Wpol.astype(compute_dtype)
+        Dsel = Dsel.astype(compute_dtype)
+    pol = jax.lax.dot_general(
+        flat, Wpol, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)            # [N, S]
+    pol = pol.reshape(N, N_RAD, N_PHI)
+    if compute_dtype is not None:
+        pol = pol.astype(compute_dtype)
+    # canonical orientation: sample ring angle psi from source angle
+    # (psi + shift) mod N_PHI — a batched one-hot matmul (iota compares
+    # fuse into the dot operand; a per-keypoint roll would be a gather)
+    psi = jnp.arange(N_PHI, dtype=jnp.int32)
+    src = (psi[None, :] + shift[:, None]) % N_PHI      # [N, N_PHI]
+    rot = (src[:, None, :] == psi[None, :, None]).astype(pol.dtype)
+    pol_c = jax.lax.dot_general(
+        pol, rot, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)            # [N, N_RAD, N_PHI]
+    vals = jax.lax.dot_general(
+        pol_c.reshape(N, -1).astype(Dsel.dtype), Dsel,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)            # [N, bits]
+    return pack_bits(vals > 0)
 
 
 def describe(pyr: jnp.ndarray, kps: Keypoints, desc_bits: int = 512
@@ -226,10 +257,13 @@ def _patches_matmul(canvas_s: jnp.ndarray, cx: jnp.ndarray, cy: jnp.ndarray
           * (1.0 - fx)[:, None, None]
           + (ww[None, None, :] == xb[:, :, None] + 1).astype(dt)
           * fx[:, None, None])                           # [N, PATCH, Wc]
+    # emit Z in the compute dtype directly: the MXU still accumulates in
+    # f32 internally, and a separate f32->bf16 convert of this [N, PATCH,
+    # Hc] intermediate cost ~33 ms per fleet tracking chunk (round-4 trace)
     Z = jax.lax.dot_general(
         Cw.reshape(N * PATCH, Wc), canvas_s,
         dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32).reshape(N, PATCH, Hc)
+        preferred_element_type=dt).reshape(N, PATCH, Hc)
 
     yb = y0[:, None] + rr[None, :]                       # [N, PATCH]
     Rw = ((hh[None, None, :] == yb[:, :, None]).astype(dt)
@@ -237,7 +271,7 @@ def _patches_matmul(canvas_s: jnp.ndarray, cx: jnp.ndarray, cy: jnp.ndarray
           + (hh[None, None, :] == yb[:, :, None] + 1).astype(dt)
           * fy[:, None, None])                           # [N, PATCH, Hc]
     patches = jax.lax.dot_general(
-        Rw, Z.astype(dt),
+        Rw, Z,
         dimension_numbers=(((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)              # [N, r, c]
     return patches

@@ -51,6 +51,8 @@ def _matcher_kernel(bits_s_ref, xy_s_ref, valid_s_ref,
     bits_s = bits_s_ref[:]                 # [TS, B] {0,1} f32
     bits_t = bits_t_ref[:]                 # [NT, B]
     # Hamming distance: |a| + |b| - 2 a.b — one MXU matmul per tile
+    # (f32 bitplanes: Mosaic on this libtpu rejects bf16 tpu.matmul
+    # operands — "Bad lhs type"; the XLA-path matcher uses bf16)
     pop_s = jnp.sum(bits_s, axis=1, keepdims=True)          # [TS, 1]
     pop_t_row = pop_t_row_ref[0:1, :]                       # [1, NT]
     inner = jax.lax.dot_general(

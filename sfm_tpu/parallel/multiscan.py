@@ -140,6 +140,12 @@ class MultiScanDriver:
 
         self._full_chunk = jax.jit(full_chunk, donate_argnums=(0,))
         self.states = init_batched_state(cfg, batch)
+        # steady-state latch: once most of the fleet has pending mapping
+        # slots every chunk, the driver dispatches map_all unconditionally
+        # (under vmap a 0-pending map_all costs the same as a full one, and
+        # skipping the host-side pending count removes a device sync from
+        # the chunk loop)
+        self._steady_map = False
 
     def warmup(self, chunk_images):
         """AOT-compile every dispatch path (tracking chunk, bucketed
@@ -192,8 +198,14 @@ class MultiScanDriver:
         T = images.shape[0]
         assert T <= self.cfg.keyframe_time_lag, \
             "chunk longer than the keyframe lag can overflow the pending slot"
-        status_before = np.asarray(self.states.status)
+        # snapshot the status BEFORE dispatching (device-side copy, no
+        # sync — the tracking call donates the state buffers, so reading
+        # the original array after dispatch would hit a deleted buffer);
+        # the host fetch below then overlaps with the queued tracking
+        # chunk instead of stalling the loop on the previous chunk's tail
+        status_dev = jnp.copy(self.states.status)
         self.states, metrics = self._track_chunk(self.states, images)
+        status_before = np.asarray(status_dev)
 
         not_running = status_before != 1
         for sel in self._buckets(np.nonzero(not_running)[0]):
@@ -203,6 +215,10 @@ class MultiScanDriver:
         return metrics
 
     def _dispatch_mapping(self):
+        if self._steady_map:
+            # steady state: dispatch unconditionally, no host sync
+            self.states = self._map_all(self.states)
+            return
         pending = np.asarray(self.states.pending_map_slot >= 0)
         n = int(pending.sum())
         if n == 0:
@@ -211,6 +227,7 @@ class MultiScanDriver:
         # cost of one dispatch is ~batch-proportional compute regardless of
         # bucket size; buckets only pay off when few scans are pending
         if n >= max(self.batch // 3, self.bucket):
+            self._steady_map = True
             self.states = self._map_all(self.states)
         else:
             for sel in self._buckets(np.nonzero(pending)[0]):

@@ -176,6 +176,50 @@ class TestDistortedCamera:
         assert ate < 0.08 * extent
 
 
+class TestDeferredMapping:
+    def test_deferred_chunked_scan_matches_quality(self):
+        """The deferred-mapping chunked mode (build_video_step(defer=True)
+        + host-dispatched build_mapping_step, the bench.py / fleet driver
+        structure) must produce a scan of the same quality class as the
+        inline path: RUNNING at end, a populated map, and a tight ATE."""
+        import jax
+        import jax.numpy as jnp
+        from sfm_tpu.engine.state import CameraParams, init_state
+        from sfm_tpu.engine.step import build_video_step, build_mapping_step
+
+        rng = np.random.default_rng(3)
+        scene = SpriteScene(rng)
+        n = 24
+        T = TEST_CFG.keyframe_time_lag
+        rvecs, tvecs = strafe_trajectory(n)
+        cam = CameraParams(K=jnp.asarray(K), d=jnp.zeros(5),
+                           Kopt=jnp.asarray(K))
+        chunk_step = jax.jit(build_video_step(TEST_CFG, cam,
+                                              defer_mapping=True))
+        map_step = jax.jit(build_mapping_step(TEST_CFG, cam))
+        state = init_state(TEST_CFG)
+        frames = np.stack([scene.render(K, rvecs[i], tvecs[i], 240, 320)
+                           for i in range(n)])
+        statuses = []
+        for s in range(0, n - n % T, T):
+            state, m = chunk_step(state, jnp.asarray(frames[s:s + T]))
+            state = map_step(state)
+            statuses.extend(np.asarray(m.status).tolist())
+        assert statuses[-1] == RUNNING
+        assert int(np.asarray(state.lms.valid).sum()) > 40
+        valid = np.asarray(state.kfs.valid)
+        fns = np.asarray(state.kfs.frames.frame_no)[valid]
+        rv = np.asarray(state.kfs.frames.rvec)[valid]
+        tv = np.asarray(state.kfs.frames.tvec)[valid]
+        order = np.argsort(fns)
+        est_c = np.stack([-rodrigues_np(rv[i]).T @ tv[i] for i in order])
+        gt_c = np.stack([-rodrigues_np(rvecs[f]).T @ tvecs[f]
+                         for f in fns[order]])
+        ate = umeyama_ate(est_c, gt_c)
+        extent = np.linalg.norm(gt_c[-1] - gt_c[0])
+        assert ate < 0.06 * extent, f"ATE {ate:.4f} vs extent {extent:.3f}"
+
+
 class TestCompactedBA:
     def test_flagship_ba_path_matches_default(self):
         """The flagship enables landmark-axis compaction + cam-major

@@ -116,7 +116,10 @@ def main(n_frames=2048):
                  np.float32)
     scene, rvecs, tvecs = make_scene(n_frames)
 
-    CHUNK = 16
+    # chunk = keyframe lag: add_frames then takes the deferred-mapping
+    # split (separate mapping jit), which compiles ~5x faster than the
+    # inline-mapping scan program (round 4)
+    CHUNK = cfg.keyframe_time_lag
     n_frames -= n_frames % CHUNK
     print(f"rendering {n_frames} frames...", file=sys.stderr)
     t0 = time.time()

@@ -84,13 +84,19 @@ def main(n_frames=1280, covis=True):
 
     cfg_kw = dict(LARGE)
     cfg_kw["mapping_use_covisibility"] = covis
+    # loop-closure detection (engine/loop.py): probe every 8 keyframes;
+    # landmarks older than 60 KFs count as a different era; accept at
+    # >= 25 PnP inliers with > 0.3 m of pose disagreement.  The covis=off
+    # ablation also disables detection (pure odometry baseline).
+    cfg_kw.update(loop_detect_every=8 if covis else 0, loop_min_age=60,
+                  loop_min_inliers=25, loop_min_drift=0.3)
     cfg = SfMConfig(**cfg_kw)
     K = np.array([[525.0, 0, 320.0], [0, 525.0, 240.0], [0, 0, 1]],
                  np.float32)
     scene = make_ring_scene()
     rvecs, tvecs = ring_loop_trajectory(n_frames)
 
-    CHUNK = 16
+    CHUNK = cfg.keyframe_time_lag  # deferred-mapping add_frames path
     n_frames -= n_frames % CHUNK
     print(f"rendering {n_frames} frames...", file=sys.stderr)
     frames = np.stack([scene.render(K, rvecs[i], tvecs[i], 480, 640)
@@ -119,7 +125,8 @@ def main(n_frames=1280, covis=True):
     running_pct = 100.0 * (statuses == 1).mean()
     n_kf = int(np.asarray(eng.state.kfs.valid).sum())
     print(f"scan: {running_pct:.1f}% RUNNING, {n_kf} keyframes, "
-          f"{(n_frames - CHUNK)/dt:.1f} fps", file=sys.stderr)
+          f"{(n_frames - CHUNK)/dt:.1f} fps; loop closures detected: "
+          f"{eng.loop_closures}", file=sys.stderr)
 
     def loop_drift():
         """Position error of the LAST keyframe under an alignment fitted

@@ -201,6 +201,18 @@ class SfMConfig:
     # cost 4.4e5 with delta=2 on the 512-KF longscan)
     global_ba_huber_delta: float = 0.0
 
+    # ---- loop closure (net-new: the reference's covisibility graph is
+    # commented out, CMap.h:94-95, and recovery() is a stub) ----
+    # probe for loop closures every N keyframe insertions (0 = off): the
+    # newest keyframe's unlinked detections are globally matched against
+    # OLD landmarks and PnP'd; a confident pose disagreeing with odometry
+    # by > loop_min_drift triggers the SE(3)-interpolated correction +
+    # re-triangulation + global BA (engine/loop.py)
+    loop_detect_every: int = 0
+    loop_min_age: int = 30         # landmark age (KFs) to count as "old"
+    loop_min_inliers: int = 25     # PnP support to accept a loop
+    loop_min_drift: float = 0.05   # m of camera-center disagreement
+
     # ---- scan guidance (ref: CScanGuidance.cpp:11-21) ----
     # guidance runs inside the jitted step on every RUNNING frame when the
     # engine is fed RGB frames (the reference's placement, CSfM.cpp:80-81);

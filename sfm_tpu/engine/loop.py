@@ -1,0 +1,249 @@
+"""Loop-closure detection and correction.
+
+The reference has no loop closure at all (its covisibility graph is
+commented out, /root/reference/CMap.h:94-95, and recovery() is a stub,
+CSfM.cpp:774-778) — this module is a beat-the-reference capability built
+from parts the engine already has:
+
+ 1. DETECT (jitted ``loop_probe``): globally match a new keyframe's
+    unlinked detections against the representative descriptors of OLD
+    landmarks (created >= ``min_age`` keyframes ago) — the reloc
+    machinery's windowless match — and PnP-RANSAC a pose against the old
+    map.  A confident pose that disagrees with the keyframe's odometry
+    pose by more than the drift gate IS a detected loop.
+ 2. CORRECT (host ``close_loop``): monocular odometry accumulates drift
+    along the excursion; the PnP pose pins the loop keyframe to the
+    old-map frame.  The per-keyframe correction is interpolated in SE(3)
+    (log-linear in chain position — the single-loop special case of
+    pose-graph relaxation), applied to every keyframe after the loop
+    start era.
+ 3. RESTRUCTURE: landmarks are re-triangulated from their (corrected)
+    observing keyframes via a vmapped DLT, the detected old-landmark
+    links are written into the loop keyframe, and a global BA polish
+    distributes the remaining error (engine/global_ba.py).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import SfMConfig
+from ..features.match import match_features
+from ..features.match_pallas import match_features_pallas
+from ..geometry.triangulate import projection_matrix
+from ..ransac import ransac_pnp
+from .state import SfMState, CameraParams
+
+
+class LoopProbe(NamedTuple):
+    ok: jnp.ndarray          # confident old-map pose found
+    rvec: jnp.ndarray        # [3] PnP pose in the old-map frame
+    tvec: jnp.ndarray        # [3]
+    n_inliers: jnp.ndarray
+    links: jnp.ndarray       # [N] landmark id per keyframe keypoint (-1)
+    min_lm_birth: jnp.ndarray  # oldest matched landmark's birth keyframe
+
+
+def build_loop_probe(cfg: SfMConfig, cam: CameraParams):
+    """Jitted (state, kf_slot) -> LoopProbe."""
+
+    def probe(state: SfMState, slot) -> LoopProbe:
+        lms, fr = state.lms, state.kfs.frames
+        desc = fr.desc[slot]
+        xy = fr.xy[slot]
+        kp_valid = fr.kp_valid[slot] & (fr.landmark[slot] < 0)
+        # candidates: live landmarks old enough to be a different era
+        old = lms.valid & (lms.kf_alive >= cfg.loop_min_age)
+        matcher = match_features_pallas if cfg.use_pallas_matcher \
+            else match_features
+        res = matcher(
+            state.rep_desc, jnp.zeros((lms.valid.shape[0], 2)), old,
+            desc, xy, kp_valid,
+            min_radius=0.0, max_radius=1e9,
+            max_distance=cfg.match_max_distance, ratio=cfg.match_ratio)
+        uv = xy[jnp.where(res.mask, res.idx, 0)]
+        key = jax.random.fold_in(state.key, 17)
+        pnp = ransac_pnp(
+            key, cam.Kopt, lms.xyz, uv, res.mask & old,
+            n_hypotheses=cfg.pnp_hypotheses,
+            sample_size=cfg.pnp_sample_size,
+            threshold=cfg.max_reproj_error,
+            refine_iters=cfg.pnp_refine_iters,
+            min_inliers=cfg.loop_min_inliers, solver=cfg.reloc_solver)
+        N = xy.shape[0]
+        L = lms.valid.shape[0]
+        lm_ids = jnp.arange(L, dtype=jnp.int32)
+        links = jnp.full((N,), -1, jnp.int32).at[
+            jnp.where(pnp.inliers, res.idx, N)].set(lm_ids, mode="drop")
+        # drift gate: the PnP pose must disagree with the odometry pose
+        # (else this is ordinary re-observation, nothing to correct)
+        c_pnp = -(projection_matrix(pnp.rvec, pnp.tvec)[:, :3].T
+                  @ pnp.tvec)
+        c_odo = -(projection_matrix(fr.rvec[slot], fr.tvec[slot])[:, :3].T
+                  @ fr.tvec[slot])
+        moved = jnp.linalg.norm(c_pnp - c_odo)
+        # birth keyframe rank of the oldest inlier landmark: the loop
+        # start era (kf_alive counts keyframes since creation; res rows
+        # are landmark-indexed, so the inlier mask aligns per landmark)
+        n_kf_now = jnp.sum(state.kfs.valid)
+        birth_min = jnp.min(jnp.where(
+            (res.mask & old & pnp.inliers), n_kf_now - lms.kf_alive, 2**30))
+        return LoopProbe(
+            ok=pnp.ok & (moved > cfg.loop_min_drift),
+            rvec=pnp.rvec, tvec=pnp.tvec,
+            n_inliers=pnp.n_inliers,
+            links=links, min_lm_birth=birth_min)
+
+    return probe
+
+
+# ------------------------------------------------------------- SE3 helpers
+
+def _rodr(r):
+    th = np.linalg.norm(r)
+    if th < 1e-12:
+        return np.eye(3)
+    k = r / th
+    Kx = np.array([[0, -k[2], k[1]], [k[2], 0, -k[0]], [-k[1], k[0], 0]])
+    return np.eye(3) + np.sin(th) * Kx + (1 - np.cos(th)) * (Kx @ Kx)
+
+
+def _log_so3(R):
+    c = np.clip((np.trace(R) - 1) / 2, -1, 1)
+    th = np.arccos(c)
+    if th < 1e-9:
+        return np.zeros(3)
+    w = np.array([R[2, 1] - R[1, 2], R[0, 2] - R[2, 0], R[1, 0] - R[0, 1]])
+    return th / (2 * np.sin(th)) * w
+
+
+def interpolate_corrections(rv, tv, fracs, d_rvec, d_tvec):
+    """Apply the fraction-scaled world-frame correction to each pose.
+
+    The full correction maps drifted world coords to old-map world
+    coords: x_old = dR x_drift + dt.  Pose i (x_cam = R_i x + t_i) in the
+    corrected world becomes R_i' = R_i dRi^T, t_i' = t_i - R_i' dti with
+    (dRi, dti) = the fraction-``fracs[i]`` power of (dR, dt) via SE(3)
+    log-linear interpolation."""
+    dR = _rodr(d_rvec)
+    w = _log_so3(dR)
+    out_r = np.empty_like(rv)
+    out_t = np.empty_like(tv)
+    for i in range(len(rv)):
+        a = float(fracs[i])
+        dRi = _rodr(w * a)
+        dti = a * d_tvec
+        Ri = _rodr(rv[i])
+        Rn = Ri @ dRi.T
+        out_r[i] = _log_so3(Rn)
+        out_t[i] = tv[i] - Rn @ dti
+    return out_r, out_t
+
+
+def retriangulate_landmarks(cfg: SfMConfig, cam: CameraParams,
+                            state: SfMState) -> SfMState:
+    """Re-triangulate every multi-view landmark from its observing
+    keyframes' (corrected) poses — a vmapped homogeneous DLT over the
+    landmark-major observation tables.  Landmarks with < 2 observations
+    keep their positions."""
+    from ..ba import observations_from_keyframes
+    from ..ba.large import build_lm_tables_device
+
+    lms, kfs = state.lms, state.kfs
+    L = lms.valid.shape[0]
+    obs = observations_from_keyframes(kfs, lms.valid)
+    lm_cam, lm_uv, lm_w, _ = build_lm_tables_device(
+        obs, L, kmax=cfg.ba_kmax)
+
+    Kopt = cam.Kopt
+
+    def tri_one(cams, uvs, w):
+        # DLT rows: for each obs, u * P3 - P1, v * P3 - P2 (P = K [R|t])
+        def rows(c, uv, wi):
+            P = Kopt @ projection_matrix(kfs.frames.rvec[c],
+                                         kfs.frames.tvec[c])
+            r1 = uv[0] * P[2] - P[0]
+            r2 = uv[1] * P[2] - P[1]
+            return jnp.stack([r1, r2]) * wi
+
+        A = jax.vmap(rows)(cams, uvs, w).reshape(-1, 4)       # [2k, 4]
+        AtA = A.T @ A
+        # inhomogeneous solve: X = -inv(A[:, :3]) rhs with Tikhonov guard
+        M = AtA[:3, :3] + 1e-6 * jnp.eye(3)
+        rhs = AtA[:3, 3]
+        X = -jnp.linalg.solve(M, rhs)
+        return X
+
+    xyz_new = jax.vmap(tri_one)(lm_cam, lm_uv, lm_w)
+    n_obs = jnp.sum(lm_w > 0, axis=1)
+    ok = lms.valid & (n_obs >= 2) & jnp.all(jnp.isfinite(xyz_new), axis=1)
+    xyz = jnp.where(ok[:, None], xyz_new, lms.xyz)
+    return state._replace(lms=lms._replace(xyz=xyz))
+
+
+def close_loop(cfg: SfMConfig, cam: CameraParams, state: SfMState,
+               slot: int, probe: LoopProbe) -> SfMState:
+    """Host-level loop correction: interpolate the SE(3) drift correction
+    along the keyframe chain, write the detected old-landmark links into
+    the loop keyframe, re-triangulate, and return the corrected state
+    (callers should run global BA afterwards)."""
+    kfs = state.kfs
+    valid = np.asarray(kfs.valid)
+    fns = np.asarray(kfs.frames.frame_no)
+    rv = np.asarray(kfs.frames.rvec).copy()
+    tv = np.asarray(kfs.frames.tvec).copy()
+
+    # correction at the loop keyframe: x_old = dR x + dt from the pose
+    # pair (odometry vs PnP): R_p x + t_p == R_o (dR^T (x - ...)) —
+    # solve dR = R_o^T R_p? Define via camera-to-world:
+    # world_old = T_pnp^-1 cam, world_drift = T_odo^-1 cam
+    # -> world_old = (T_pnp^-1 T_odo) world_drift
+    # Same physical camera, two world frames: x_cam = R_o x_drift + t_o
+    # (odometry) and x_cam = R_p x_old + t_p (PnP vs the old map) =>
+    # x_old = (R_p^T R_o) x_drift + R_p^T (t_o - t_p)
+    R_o = _rodr(rv[slot])
+    t_o = tv[slot]
+    R_p = _rodr(np.asarray(probe.rvec))
+    t_p = np.asarray(probe.tvec)
+    dR = R_p.T @ R_o
+    dt = R_p.T @ (t_o - t_p)
+    d_rvec = _log_so3(dR)
+
+    # chain fractions: 0 at the loop-start era, 1 at the loop keyframe
+    loop_fn = fns[slot]
+    # oldest matched landmark's era keyframe (by insertion order)
+    order = np.argsort(np.where(valid, fns, 2**30))
+    n_valid = int(valid.sum())
+    birth_rank = int(np.asarray(probe.min_lm_birth))
+    birth_rank = max(0, min(birth_rank, n_valid - 1))
+    start_fn = fns[order[birth_rank]]
+    span = max(float(loop_fn - start_fn), 1.0)
+    fracs = np.clip((fns - start_fn) / span, 0.0, 1.0) * valid
+    rv2, tv2 = interpolate_corrections(rv, tv, fracs, d_rvec, dt)
+
+    frames = kfs.frames._replace(rvec=jnp.asarray(rv2.astype(np.float32)),
+                                 tvec=jnp.asarray(tv2.astype(np.float32)))
+    # write the loop links into the keyframe (old landmarks observed)
+    links = np.asarray(kfs.frames.landmark).copy()
+    new_links = np.asarray(probe.links)
+    take = new_links >= 0
+    links[slot][take] = new_links[take]
+    frames = frames._replace(landmark=jnp.asarray(links))
+    state = state._replace(kfs=kfs._replace(frames=frames))
+    state = retriangulate_landmarks(cfg, cam, state)
+    # the reference frame is temporally at/after the loop keyframe: apply
+    # the full correction so the next tracking step's pose prior lives in
+    # the corrected world frame (else the prior is off by the whole loop
+    # correction and tracking would drop to relocalization)
+    prev = state.prev
+    pr, pt = interpolate_corrections(
+        np.asarray(prev.rvec)[None], np.asarray(prev.tvec)[None],
+        np.ones(1), d_rvec, dt)
+    prev = prev._replace(rvec=jnp.asarray(pr[0].astype(np.float32)),
+                         tvec=jnp.asarray(pt[0].astype(np.float32)))
+    state = state._replace(prev=prev)
+    return state

@@ -189,19 +189,63 @@ class SfMEngine:
                                 Kopt=jnp.asarray(Kopt))
         self._step = jax.jit(build_step(cfg, self.cam), donate_argnums=(0,))
         self._chunk_step = None  # compiled lazily on first add_frames
+        self._chunk_step_deferred = None
+        self._map_step = None
+        self._loop_probe = None  # compiled lazily on first probe
         self.state = init_state(cfg)
         self.metrics_log = []
         self._kfs_since_global_ba = 0
+        self._kfs_since_loop_probe = 0
+        self.loop_closures = []  # (frame_no, drift_m, n_inliers) log
 
     def _maybe_global_ba(self, n_new_keyframes: int) -> None:
         """Periodic global BA (cfg.global_ba_every keyframes) — the host-
         driven schedule that replaces the reference's inline all-keyframe
         BA (CSfM.cpp:250-259) at 500+-KF scale."""
+        self._maybe_loop_probe(n_new_keyframes)
         if self.config.global_ba_every <= 0:
             return
         self._kfs_since_global_ba += n_new_keyframes
         if self._kfs_since_global_ba >= self.config.global_ba_every:
             self.global_ba()
+
+    def _maybe_loop_probe(self, n_new_keyframes: int) -> None:
+        if self.config.loop_detect_every <= 0:
+            return
+        self._kfs_since_loop_probe += n_new_keyframes
+        if self._kfs_since_loop_probe >= self.config.loop_detect_every:
+            self._kfs_since_loop_probe = 0
+            self.probe_loop_closure()
+
+    def probe_loop_closure(self) -> bool:
+        """Probe the newest keyframe for a loop closure against old
+        landmarks; on detection, apply the SE(3)-interpolated correction,
+        re-triangulate, and run a global BA polish (engine/loop.py).
+        Returns True when a loop was closed."""
+        import numpy as np
+        from .loop import build_loop_probe, close_loop
+
+        if self._loop_probe is None:
+            self._loop_probe = jax.jit(
+                build_loop_probe(self.config, self.cam),
+                static_argnums=())
+        kfs = self.state.kfs
+        valid = np.asarray(kfs.valid)
+        if valid.sum() < 2:
+            return False
+        fns = np.asarray(kfs.frames.frame_no)
+        slot = int(np.argmax(np.where(valid, fns, -1)))
+        probe = jax.device_get(self._loop_probe(self.state,
+                                                jnp.asarray(slot)))
+        if not bool(probe.ok):
+            return False
+        self.state = close_loop(self.config, self.cam, self.state, slot,
+                                probe)
+        for _ in range(2):
+            self.global_ba()
+        self.loop_closures.append((int(fns[slot]),
+                                   int(np.asarray(probe.n_inliers))))
+        return True
 
     def global_ba(self) -> dict:
         """Run global BA on the current map now; returns solver stats."""
@@ -232,10 +276,14 @@ class SfMEngine:
     def add_frames(self, images) -> list:
         """Process a chunk of frames in one device call (throughput mode).
         images: [T, H, W] grey or [T, H, W, 3] RGB.  Returns the list of
-        per-frame metric dicts."""
-        if self._chunk_step is None:
-            self._chunk_step = jax.jit(
-                build_video_step(self.config, self.cam), donate_argnums=(0,))
+        per-frame metric dicts.
+
+        Chunks no longer than cfg.keyframe_time_lag run through the
+        DEFERRED-mapping step (mapping dispatched as a separate jit after
+        the chunk — at most one keyframe can be pending), which compiles
+        ~5x faster than the inline-mapping scan program (619 s -> <90 s
+        cold at the flagship config, round 4); longer chunks keep the
+        inline path."""
         if isinstance(images, jax.Array):
             imgs = images   # already staged on device — don't round-trip
         else:
@@ -243,7 +291,25 @@ class SfMEngine:
         if imgs.ndim == 4 and not self.config.guidance_enabled:
             imgs = 0.299 * imgs[..., 0] + 0.587 * imgs[..., 1] \
                 + 0.114 * imgs[..., 2]
-        self.state, metrics = self._chunk_step(self.state, imgs)
+        deferred = imgs.shape[0] <= self.config.keyframe_time_lag
+        if deferred:
+            if self._chunk_step_deferred is None:
+                self._chunk_step_deferred = jax.jit(
+                    build_video_step(self.config, self.cam,
+                                     defer_mapping=True),
+                    donate_argnums=(0,))
+                self._map_step = jax.jit(
+                    build_mapping_step(self.config, self.cam),
+                    donate_argnums=(0,))
+            self.state, metrics = self._chunk_step_deferred(self.state,
+                                                            imgs)
+            self.state = self._map_step(self.state)
+        else:
+            if self._chunk_step is None:
+                self._chunk_step = jax.jit(
+                    build_video_step(self.config, self.cam),
+                    donate_argnums=(0,))
+            self.state, metrics = self._chunk_step(self.state, imgs)
         out = []
         # batched async fetch — see add_frame
         stacked = dict(jax.device_get(metrics)._asdict())

@@ -1,0 +1,80 @@
+"""Loop-closure machinery unit tests (engine/loop.py) — the correction
+math on a synthetic drifted chain, and end-to-end detection+correction on
+a small drift-injected scan."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from sfm_tpu.engine.loop import (interpolate_corrections, _rodr, _log_so3,
+                                 retriangulate_landmarks)
+
+
+class TestInterpolation:
+    def test_endpoint_recovers_pnp_pose(self):
+        rng = np.random.default_rng(0)
+        rv = rng.normal(0, 0.3, (5, 3))
+        tv = rng.normal(0, 1.0, (5, 3))
+        # a drift correction
+        d_rvec = np.array([0.02, -0.3, 0.1])
+        dt = np.array([0.5, -2.0, 1.0])
+        fracs = np.linspace(0, 1, 5)
+        rv2, tv2 = interpolate_corrections(rv, tv, fracs, d_rvec, dt)
+        # frac 0: unchanged
+        np.testing.assert_allclose(rv2[0], rv[0], atol=1e-6)
+        np.testing.assert_allclose(tv2[0], tv[0], atol=1e-6)
+        # frac 1: x_cam = R' x_old + t' must equal R x_drift + t with
+        # x_old = dR x_drift + dt
+        dR = _rodr(d_rvec)
+        x_d = rng.normal(0, 1, 3)
+        x_old = dR @ x_d + dt
+        lhs = _rodr(rv2[-1]) @ x_old + tv2[-1]
+        rhs = _rodr(rv[-1]) @ x_d + tv[-1]
+        np.testing.assert_allclose(lhs, rhs, atol=1e-5)
+
+    def test_log_exp_roundtrip(self):
+        r = np.array([0.4, -0.2, 0.9])
+        np.testing.assert_allclose(_log_so3(_rodr(r)), r, atol=1e-6)
+
+
+class TestRetriangulate:
+    def test_recovers_points_from_poses(self):
+        from sfm_tpu.config import SfMConfig
+        from sfm_tpu.engine.state import CameraParams, init_state, Frame
+        cfg = SfMConfig(max_keypoints=16, max_keyframes=4, max_landmarks=32,
+                        image_height=96, image_width=128, pyramid_levels=2,
+                        ba_kmax=4)
+        K = np.array([[100.0, 0, 64], [0, 100.0, 48], [0, 0, 1]],
+                     np.float32)
+        cam = CameraParams(K=jnp.asarray(K), d=jnp.zeros(5),
+                           Kopt=jnp.asarray(K))
+        rng = np.random.default_rng(1)
+        X = np.stack([rng.uniform(-1, 1, 8), rng.uniform(-0.7, 0.7, 8),
+                      rng.uniform(3, 5, 8)], 1).astype(np.float32)
+        state = init_state(cfg)
+        kfs = state.kfs
+        landmark = np.full((4, 16), -1, np.int32)
+        xy = np.zeros((4, 16, 2), np.float32)
+        rvs = np.zeros((4, 3), np.float32)
+        tvs = np.stack([np.array([0.3 * c, 0, 0], np.float32)
+                        for c in range(4)])
+        for c in range(4):
+            p = X + tvs[c]
+            uv = (p[:, :2] / p[:, 2:]) * 100.0 + np.array([64.0, 48.0])
+            xy[c, :8] = uv
+            landmark[c, :8] = np.arange(8)
+        fr = kfs.frames._replace(
+            landmark=jnp.asarray(landmark), xy=jnp.asarray(xy),
+            rvec=jnp.asarray(rvs), tvec=jnp.asarray(tvs),
+            kp_valid=jnp.asarray(np.arange(16)[None, :].repeat(4, 0) < 8),
+            frame_no=jnp.arange(4, dtype=jnp.int32))
+        lms = state.lms._replace(
+            valid=jnp.asarray(np.arange(cfg.max_landmarks) < 8),
+            xyz=jnp.asarray(np.pad(X + rng.normal(0, 0.5, X.shape),
+                                   ((0, 24), (0, 0))).astype(np.float32)))
+        state = state._replace(
+            kfs=kfs._replace(frames=fr,
+                             valid=jnp.ones(4, bool)), lms=lms)
+        state2 = retriangulate_landmarks(cfg, cam, state)
+        got = np.asarray(state2.lms.xyz)[:8]
+        np.testing.assert_allclose(got, X, atol=1e-2)

@@ -240,13 +240,12 @@ def main(record=True):
                 f"same run, {n_kf} keyframes / {n_frames} trajectory "
                 "frames, large-solver + fused-Pallas mapping BA "
                 "(deferred-mapping chunked step)")
-        if map_times:
-            _record("mapping_pass",
-                    "mapping+BA pass (32 KF cap, 8k-lm map)",
-                    f"{map_ms*1000:.1f} ms",
-                    "triangulate + reobserve + cull + implicit-Schur PCG "
-                    "BA (fused Pallas), median of direct per-dispatch "
-                    "timings inside the flagship scan")
+        _record("mapping_pass",
+                "mapping+BA pass (32 KF cap, 8k-lm map)",
+                f"{map_ms*1000:.1f} ms",
+                "triangulate + reobserve + cull + implicit-Schur PCG "
+                "BA (fused Pallas), mean of direct back-to-back "
+                "dispatches on the steady-state flagship map")
         if ate_pct is not None:
             _record("ate_flagship", "trajectory accuracy (flagship scan)",
                     f"ATE {ate_pct:.2f}% of extent",

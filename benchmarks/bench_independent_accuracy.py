@@ -24,7 +24,7 @@ import numpy as np
 ATE_GATE_PCT = 2.0   # % of trajectory extent
 
 
-def main(n_frames=96):
+def main(n_frames=60):
     import jax
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
@@ -33,11 +33,21 @@ def main(n_frames=96):
     from sfm_tpu.raytrace import (RayScene, orbit_arc_trajectory, sim3_ate,
                                   _rot)
 
-    cfg = g._flagship_cfg()
+    import dataclasses
+    # flagship config with the keyframe floor at ORB-SLAM's ~15-25 level:
+    # the reference's 50 (CSfM.cpp:485) is tuned for orbiting a dense
+    # small object; the ray scene's realistic ~140 matches/frame tracks
+    # ~35-45 points, which must still grow the map (same documented
+    # adjustment the 512-KF longscan makes, benchmarks/bench_longscan.py)
+    cfg = dataclasses.replace(g._flagship_cfg(), keyframe_min_tracked=25)
     K = np.array([[525.0, 0, 320.0], [0, 525.0, 240.0], [0, 0, 1]],
                  np.float32)
     dist = [-0.22, 0.06, 0.0009, -0.0007, 0.0]
-    scene = RayScene(seed=11, n_boxes=9, spread=2.6, depth=5.5)
+    scene = RayScene(seed=11)
+    # ~0.012 rad/frame: keyframe spacing must subtend a healthy
+    # baseline-to-depth ratio — at 1/3 this speed adjacent keyframes
+    # triangulate from near-degenerate baselines and ATE degrades 9-16%
+    # (measured round 4)
     rvecs, tvecs = orbit_arc_trajectory(n_frames, radius=5.5, arc=0.7)
     print(f"rendering {n_frames} ray-traced frames...", file=sys.stderr)
     frames = np.stack([scene.render(K, rvecs[i], tvecs[i], 480, 640,
@@ -74,9 +84,11 @@ def main(n_frames=96):
                 f"distortion + noise, RUNNING {running_pct:.1f}%)",
         "vs_baseline": None,
     }))
-    if pct > ATE_GATE_PCT or running_pct < 90.0:
+    if pct > ATE_GATE_PCT or running_pct < 90.0 or len(est_c) < 6 \
+            or extent < 1.0:
         print(f"GATE FAILED: ATE {pct:.2f}% > {ATE_GATE_PCT}% or RUNNING "
-              f"{running_pct:.1f}% < 90%", file=sys.stderr)
+              f"{running_pct:.1f}% < 90% or {len(est_c)} KFs < 6 or "
+              f"extent {extent:.2f} m < 1", file=sys.stderr)
         raise SystemExit(1)
 
 

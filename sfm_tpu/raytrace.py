@@ -39,36 +39,36 @@ def _hash01(ix: np.ndarray, iy: np.ndarray, seed: int) -> np.ndarray:
 
 
 def value_noise(u: np.ndarray, v: np.ndarray, seed: int,
-                octaves: int = 4, base_freq: float = 7.0) -> np.ndarray:
-    """Multi-octave bilinear value noise over (u, v) in [0,1]-ish coords,
+                octaves: int = 2, base_freq: float = 5.0) -> np.ndarray:
+    """Multi-octave bilinear value noise over (u, v) in world coords,
     contrast-stretched so the FAST detector finds corners (smooth noise
-    alone is featureless at a 20-intensity threshold)."""
+    alone is featureless at a 20-intensity threshold).
+
+    BAND-LIMITED on purpose: at the validation scenes' ~100 px/world-unit
+    magnification the octaves here have ~8-20 px wavelengths.  Finer
+    octaves (< ~2 px wavelength) alias against the pixel grid — the
+    texture then decorrelates between frames and descriptors stop
+    matching (measured: 1-4 matches/frame at 480x640 with a 0.6 px
+    octave vs 200+ without it)."""
+    # random-level MOSAIC, not smooth noise: each lattice cell gets an
+    # independent uniform gray level with hard borders.  Smooth or
+    # few-level textures make descriptor sample pairs land on near-equal
+    # values whose comparison bits flip under sensor noise (measured:
+    # 25-57 matches/frame, median accepted Hamming ~55-65 of 512);
+    # random-per-cell levels make pair differences uniformly distributed
+    # and the descriptor stable (the same property the reference's
+    # checkable scenes and any real cluttered object have).
     out = np.zeros_like(u, dtype=np.float64)
     amp, freq = 1.0, base_freq
     norm = 0.0
     for o in range(octaves):
-        x = u * freq
-        y = v * freq
-        ix = np.floor(x)
-        iy = np.floor(y)
-        fx = x - ix
-        fy = y - iy
-        # smoothstep fade for C1 continuity
-        fx = fx * fx * (3 - 2 * fx)
-        fy = fy * fy * (3 - 2 * fy)
-        n00 = _hash01(ix, iy, seed + o)
-        n10 = _hash01(ix + 1, iy, seed + o)
-        n01 = _hash01(ix, iy + 1, seed + o)
-        n11 = _hash01(ix + 1, iy + 1, seed + o)
-        val = ((1 - fy) * ((1 - fx) * n00 + fx * n10)
-               + fy * ((1 - fx) * n01 + fx * n11))
-        out += amp * val
+        ix = np.floor(u * freq)
+        iy = np.floor(v * freq)
+        out += amp * _hash01(ix, iy, seed + o)
         norm += amp
-        amp *= 0.62
-        freq *= 2.9
-    out = out / norm
-    # contrast stretch around the mean: sharp blotch boundaries -> corners
-    return np.clip((out - 0.5) * 2.6 + 0.5, 0.0, 1.0)
+        amp *= 0.55
+        freq *= 2.7
+    return out / norm
 
 
 # ---------------------------------------------------------------- geometry
@@ -88,19 +88,21 @@ class RayScene:
     """Textured ground plane (y = +1, y axis points down in camera
     convention) plus a set of axis-aligned textured boxes resting on it."""
 
-    def __init__(self, seed: int = 0, n_boxes: int = 7,
-                 spread: float = 2.2, depth: float = 5.0):
+    def __init__(self, seed: int = 0, n_boxes: int = 12,
+                 spread: float = 2.8, depth: float = 5.0):
         rng = np.random.default_rng(seed)
         self.seed = seed
         self.floor_y = 1.0
         self.light = np.array([0.4, -0.8, -0.45])
         self.light /= np.linalg.norm(self.light)
-        # boxes: centers in front of the origin-facing camera arc
+        # boxes: centers in front of the origin-facing camera arc; tall
+        # enough that mostly-frontal faces fill the view (grazing-angle
+        # surfaces make keypoints unrepeatable under viewpoint change)
         cx = rng.uniform(-spread, spread, n_boxes)
         cz = rng.uniform(depth - 1.6, depth + 1.6, n_boxes)
-        sx = rng.uniform(0.5, 1.1, n_boxes)
-        sy = rng.uniform(0.6, 1.6, n_boxes)
-        sz = rng.uniform(0.5, 1.1, n_boxes)
+        sx = rng.uniform(0.7, 1.4, n_boxes)
+        sy = rng.uniform(1.2, 2.8, n_boxes)
+        sz = rng.uniform(0.7, 1.4, n_boxes)
         cy = self.floor_y - sy / 2  # resting on the floor
         self.bmin = np.stack([cx - sx / 2, cy - sy / 2, cz - sz / 2], 1)
         self.bmax = np.stack([cx + sx / 2, cy + sy / 2, cz + sz / 2], 1)
@@ -149,7 +151,11 @@ class RayScene:
         tmin = np.full((h, w), np.inf)
         img = np.full((h, w), 12.0)
 
-        # ground plane y = floor_y (normal -y, pointing up toward camera)
+        # ground plane y = floor_y (normal -y, pointing up toward camera).
+        # Low contrast on purpose: the grazing view angle warps floor
+        # texture strongly between frames, making floor keypoints
+        # unrepeatable — the detector should spend its budget on the
+        # (more frontal) box faces.
         dy = dirs[..., 1]
         with np.errstate(divide="ignore", invalid="ignore"):
             t_pl = (self.floor_y - origin[1]) / dy
@@ -158,6 +164,7 @@ class RayScene:
         uv = np.stack([p[..., 0], p[..., 2]], -1) * 0.5
         sh = self._shade(p, np.array([0.0, -1.0, 0.0]), uv,
                          self.seed + 977)
+        sh = 0.25 * sh + 0.75 * 80.0
         img = np.where(ok, sh, img)
         tmin = np.where(ok, t_pl, tmin)
 

@@ -36,7 +36,8 @@ import pytest
 # ---------------------------------------------------------------------------
 
 _DUR_FILE = os.path.join(os.path.dirname(__file__), "durations.json")
-_SLOW_SECONDS = 5.0
+_SLOW_SECONDS = 3.0   # fast suite: ~92 tests / ~60 s device time
+                      # (round-4 re-record; target < 180 s wall)
 _recorded = {}
 
 

@@ -72,9 +72,11 @@ def main(n_cams=1000, n_lms=100_000, obs_per_lm=6, iters=8, cg_iters=25,
     print(f"compile+first: {time.time()-t0:.1f}s, accepted "
           f"{int(out[3].accepted)}, cost {float(out[3].initial_cost):.3e} "
           f"-> {float(out[3].final_cost):.3e}", file=sys.stderr)
+    # a d2h fetch INSIDE the timed region: on the tunneled device,
+    # block_until_ready does not reliably force execution (round 4)
     t0 = time.time()
     out = f(rv0, tv0, X0)
-    jax.block_until_ready(out)
+    _ = float(np.asarray(out[3].final_cost))
     total = time.time() - t0
     ms_per_iter = total / iters * 1000
 

@@ -78,19 +78,31 @@ def bench_shard(L):
     print(f"L={L}: plan built in {time.time()-t0:.1f}s "
           f"(window {plan.window})", file=sys.stderr, flush=True)
 
+    xyz_p = xyz[jnp.asarray(perm)]
+
     @jax.jit
-    def lin():
-        return fused_blocks(K, R, tvec, xyz[jnp.asarray(perm)],
-                            ones_l, ones_c, lt)
+    def lin(salt):
+        # the salt chains reps so a lazy/deduping executor cannot skip any
+        return fused_blocks(K, R, tvec, xyz_p + salt, ones_l, ones_c, lt)
 
     t0 = time.time()
-    wt, vg_t, U, g_cam, cost = jax.block_until_ready(lin())
+    wt, vg_t, U, g_cam, cost = jax.block_until_ready(lin(0.0))
+    _ = np.asarray(cost)
     print(f"L={L}: linearize compiled+run in {time.time()-t0:.1f}s",
           file=sys.stderr, flush=True)
+    # timing note (round 4): on the tunneled device, block_until_ready
+    # does NOT reliably force execution — a small d2h fetch INSIDE the
+    # timed region does, and reps must be CHAINED so a lazy executor
+    # cannot collapse them.  Without this the loop measured ~25 ms/op
+    # for every problem size (the tunnel's round trip, not compute).
+    REPS = 20
     t0 = time.time()
-    for _ in range(10):
-        out = jax.block_until_ready(lin())
-    t_lin = (time.time() - t0) / 10
+    c = cost * 0.0
+    for _ in range(REPS):
+        out = lin(c * 1e-30)
+        c = out[4]
+    _ = np.asarray(c)             # forces the queued chain
+    t_lin = (time.time() - t0) / REPS
 
     op = SchurOperator.from_packed(
         wt, lt.cams_t, lt.base_t, L=L, kmax=KMAX, tile=TILE,
@@ -104,11 +116,13 @@ def bench_shard(L):
 
     t0 = time.time()
     y = jax.block_until_ready(apply(x))
+    _ = np.asarray(y[0, :2])
     print(f"L={L}: apply compiled+run in {time.time()-t0:.1f}s",
           file=sys.stderr, flush=True)
     t0 = time.time()
     for _ in range(20):
-        y = jax.block_until_ready(apply(y * 1e-3))
+        y = apply(y * 1e-3)       # chained reps (see linearize note)
+    _ = np.asarray(y[0, :2])      # forces the queued chain
     t_apply = (time.time() - t0) / 20
     print(f"L={L:8d}: linearize {t_lin*1e3:7.2f} ms, "
           f"CG apply {t_apply*1e3:6.2f} ms, window {plan.window}",

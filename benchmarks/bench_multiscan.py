@@ -121,6 +121,10 @@ def main(batch=64, n_frames=48, flagship=False):
     for ch in all_chunks[1:]:
         m = drv.step_chunk(ch)
     jax.block_until_ready((drv.states, m))
+    # d2h fetch INSIDE the timed region: on the tunneled device
+    # block_until_ready does not reliably force execution of the queued
+    # tail (round 4) — without this the final chunk escapes the timer
+    _ = np.asarray(drv.states.status)
     dt = time.time() - t0
     agg_fps = batch * (n_frames - T) / dt
     n_running = int((np.asarray(drv.states.status) == 1).sum())

@@ -120,15 +120,22 @@ def smooth(img: jnp.ndarray, k: int = 5) -> jnp.ndarray:
     """k x k box blur (the pre-descriptor smoothing BRIEF requires).
 
     Separable shift-add formulation: lax.conv on [H,W] images lowered to a
-    pathologically slow kernel on TPU (18 ms for a 5x5/[480,1200] conv);
-    the same blur as 2(k-1) rolls + adds fuses into one VPU pass."""
+    pathologically slow kernel on TPU (18 ms for a 5x5/[480,1200] conv).
+    Shifts are static slices of an edge-padded copy rather than jnp.roll
+    (roll = two-slice concat per offset, which blocks XLA fusion across
+    the add chain — round 4; same change as detect.fast_score)."""
     r = k // 2
+    H, W = img.shape
+    pad_x = jnp.pad(img, ((0, 0), (r, r)), mode="edge")
     acc = img
     for d in range(1, r + 1):
-        acc = acc + jnp.roll(img, d, 1) + jnp.roll(img, -d, 1)
+        acc = acc + jax.lax.slice(pad_x, (0, r - d), (H, r - d + W)) \
+            + jax.lax.slice(pad_x, (0, r + d), (H, r + d + W))
+    pad_y = jnp.pad(acc, ((r, r), (0, 0)), mode="edge")
     out = acc
     for d in range(1, r + 1):
-        out = out + jnp.roll(acc, d, 0) + jnp.roll(acc, -d, 0)
+        out = out + jax.lax.slice(pad_y, (r - d, 0), (r - d + H, W)) \
+            + jax.lax.slice(pad_y, (r + d, 0), (r + d + H, W))
     return out / (k * k)
 
 

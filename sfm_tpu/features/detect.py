@@ -81,9 +81,17 @@ def fast_score(img: jnp.ndarray, threshold: float) -> jnp.ndarray:
     sum of thresholded absolute differences over the circle, gated by the
     corner test.  Pure shift/compare map algebra — VPU-friendly, no gathers.
     Written as an expression DAG over 16 shifted reads (no stacked [16,H,W]
-    intermediate: stacking forced multi-MB materialization on TPU)."""
+    intermediate: stacking forced multi-MB materialization on TPU).
+
+    Shifts are STATIC SLICES of one edge-padded copy, not jnp.roll: roll
+    lowers to a two-slice concat per offset, and XLA cannot fuse the
+    elementwise DAG across 16 concats — the sliced form fuses into far
+    fewer HBM passes (round 4)."""
     threshold = jnp.asarray(threshold, img.dtype)
-    shifted = [jnp.roll(img, (-int(dy), -int(dx)), axis=(0, 1))
+    H, W = img.shape
+    pad = jnp.pad(img, ((3, 3), (3, 3)), mode="edge")
+    shifted = [jax.lax.slice(pad, (3 + int(dy), 3 + int(dx)),
+                             (3 + int(dy) + H, 3 + int(dx) + W))
                for dy, dx in _CIRCLE]
     # per-pixel 16-bit circle bitboards (bit k = circle position k passes),
     # then the contiguous-run test as log-doubling shift-ANDs: ~9x fewer

@@ -39,7 +39,7 @@ def main(n_frames=60):
     # small object; the ray scene's realistic ~140 matches/frame tracks
     # ~35-45 points, which must still grow the map (same documented
     # adjustment the 512-KF longscan makes, benchmarks/bench_longscan.py)
-    cfg = dataclasses.replace(g._flagship_cfg(), keyframe_min_tracked=25)
+    cfg = dataclasses.replace(g._flagship_cfg(), keyframe_min_tracked=20)
     K = np.array([[525.0, 0, 320.0], [0, 525.0, 240.0], [0, 0, 1]],
                  np.float32)
     dist = [-0.22, 0.06, 0.0009, -0.0007, 0.0]
@@ -48,7 +48,8 @@ def main(n_frames=60):
     # baseline-to-depth ratio — at 1/3 this speed adjacent keyframes
     # triangulate from near-degenerate baselines and ATE degrades 9-16%
     # (measured round 4)
-    rvecs, tvecs = orbit_arc_trajectory(n_frames, radius=5.5, arc=0.7)
+    rvecs, tvecs = orbit_arc_trajectory(n_frames, radius=5.5,
+                                        arc=0.7 * n_frames / 60.0)
     print(f"rendering {n_frames} ray-traced frames...", file=sys.stderr)
     frames = np.stack([scene.render(K, rvecs[i], tvecs[i], 480, 640,
                                     d=dist, noise_std=2.5, frame_no=i)

@@ -1,14 +1,16 @@
-"""Pallas TPU kernel: subpixel patch extraction from the pyramid canvas.
+"""Pallas TPU kernel: subpixel patch extraction — NEGATIVE RESULT, kept
+as evidence (benchmarks/bench_patch_extract.py; docs/BENCH_NOTES.md).
 
 The XLA path (descriptor._patches_matmul) extracts every keypoint's
 33x33 patch with two bilinear-SELECTION matmuls whose FLOPs scale with
 N * PATCH * Hc * Wc — the MXU cannot exploit the 2-nonzeros-per-row
-structure, so at the flagship shapes the column-selection matmul alone is
-~10 ms per 64-scan fleet frame-step (~132 ms/chunk, round-4 trace).  The
-patch window is a contiguous 2D slice of the canvas, which is exactly
-what VMEM dynamic slices are for: the whole canvas (480 x ~1200 bf16 =
-~1.2 MB) sits in VMEM and each keypoint is one [34, 34] dynamic slice +
-a 4-tap fractional lerp — no MXU work at all.
+structure.  The hope here was that VMEM dynamic slices (canvas resident,
+one [34, 34] slice + 4-tap lerp per keypoint) would beat it.  They do
+not: Mosaic requires 8-aligned sublane and 128-aligned lane slice
+starts, and after the aligned-window + dynamic-lane-rotate + 8-way
+row-predication workaround the kernel measures ~32 ms at the 64-scan
+fleet shape vs ~13 ms for the selection-matmul path (round 4).  The
+engine does NOT use this module; descriptor.py keeps the matmuls.
 """
 
 from __future__ import annotations

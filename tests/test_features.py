@@ -220,3 +220,23 @@ class TestRotationInvariance:
         # construction); require a healthy yield
         n = int(jnp.sum(res.mask))
         assert n > 30
+
+
+class TestPallasPatchExtract:
+    def test_matches_selection_matmul(self, rng):
+        """The (negative-result, unwired) Pallas patch extractor must stay
+        numerically equivalent to descriptor._patches_matmul so the
+        benchmark comparing them (bench_patch_extract.py) stays valid."""
+        import jax.numpy as jnp
+        from sfm_tpu.features.descriptor import _patches_matmul
+        from sfm_tpu.features.patches_pallas import extract_patches_pallas
+        # stay clear of the Pallas path's stricter bottom clamp (its
+        # 8-aligned 48-row window needs y0 <= H - 42)
+        canvas = jnp.asarray(rng.uniform(0, 255, (128, 256))
+                             .astype(np.float32))
+        cx = jnp.asarray(rng.uniform(20, 236, (8,)).astype(np.float32))
+        cy = jnp.asarray(rng.uniform(20, 80, (8,)).astype(np.float32))
+        a = np.asarray(_patches_matmul(canvas, cx, cy))
+        b = np.asarray(extract_patches_pallas(canvas, cx, cy,
+                                              interpret=True))
+        np.testing.assert_allclose(a, b, atol=1e-3)

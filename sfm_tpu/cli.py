@@ -52,9 +52,41 @@ def cmd_scan(args) -> int:
         from .viz import Y4MWriter, overlay_frame
         from .np_geometry import rodrigues_np
         writer = Y4MWriter(args.video, width=w, height=h)
+    # throughput mode: --chunk batches frames through the deferred-mapping
+    # chunked step (one device call per chunk, mapping dispatched after) —
+    # only when nothing needs per-frame host state (overlay/guidance)
+    chunked = args.chunk > 1 and writer is None and not args.guidance
+    if args.chunk > 1 and not chunked:
+        print("--chunk ignored: per-frame mode required for "
+              "--video/--guidance", file=sys.stderr)
+    chunk_n = min(args.chunk, cfg.keyframe_time_lag)
+    buf = []
+
     n = 0
     t0 = time.time()
-    for gray, rgb in src:
+
+    def flush_chunk():
+        nonlocal n
+        if not buf:
+            return
+        ms = eng.add_frames(np.stack(buf))
+        buf.clear()
+        if metrics_f:
+            for mm in ms:
+                metrics_f.write(json.dumps(
+                    {k: (v.tolist() if hasattr(v, "tolist") else v)
+                     for k, v in mm.items()}) + "\n")
+        n += len(ms)
+
+    if chunked:
+        for gray, rgb in src:
+            buf.append(gray)
+            if len(buf) == chunk_n:
+                flush_chunk()
+            if args.max_frames and n + len(buf) >= args.max_frames:
+                break
+        flush_chunk()
+    for gray, rgb in ([] if chunked else src):
         m = eng.add_frame(gray)
         if rgb is not None and int(m["status"]) == 1 and args.guidance:
             gstate, gout = update_guidance(
@@ -200,6 +232,11 @@ def main(argv=None) -> int:
                     help="resume engine state npz before scanning")
     ps.add_argument("--metrics", default=None,
                     help="write per-frame metrics JSONL")
+    ps.add_argument("--chunk", type=int, default=1,
+                    help="batch N frames per device call (throughput "
+                    "mode via the deferred-mapping chunked step; capped "
+                    "at the keyframe lag; incompatible with "
+                    "--video/--guidance)")
     ps.add_argument("--flow", action="store_true",
                     help="flow-assisted tracking: LK-track features whose "
                          "descriptor match failed (blur/low-texture recall)")

@@ -212,6 +212,13 @@ class SfMConfig:
     loop_min_age: int = 30         # landmark age (KFs) to count as "old"
     loop_min_inliers: int = 25     # PnP support to accept a loop
     loop_min_drift: float = 0.05   # m of camera-center disagreement
+    # EXPERIMENTAL: apply the probe's monocular scale-drift estimate as a
+    # sim(3) (rather than SE(3)) chain correction.  Default off: on the
+    # ring-orbit loop bench the median-depth-ratio estimate was unreliable
+    # enough to destabilize the corrected map (end drift 6.6 m vs 0.83 m
+    # with the SE(3) correction — round-4 negative result); the estimate
+    # itself is still computed and reported in LoopProbe.scale.
+    loop_use_scale: bool = False
 
     # ---- scan guidance (ref: CScanGuidance.cpp:11-21) ----
     # guidance runs inside the jitted step on every RUNNING frame when the

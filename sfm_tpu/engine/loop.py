@@ -46,6 +46,8 @@ class LoopProbe(NamedTuple):
     n_inliers: jnp.ndarray
     links: jnp.ndarray       # [N] landmark id per keyframe keypoint (-1)
     min_lm_birth: jnp.ndarray  # oldest matched landmark's birth keyframe
+    scale: jnp.ndarray       # monocular scale-drift estimate s
+                             # (x_old ~ s * x_drift); 1.0 when unreliable
 
 
 def build_loop_probe(cfg: SfMConfig, cam: CameraParams):
@@ -92,11 +94,36 @@ def build_loop_probe(cfg: SfMConfig, cam: CameraParams):
         n_kf_now = jnp.sum(state.kfs.valid)
         birth_min = jnp.min(jnp.where(
             (res.mask & old & pnp.inliers), n_kf_now - lms.kf_alive, 2**30))
+
+        # monocular scale-drift estimate: the same physical scene is
+        # visible through two landmark sets — the matched OLD landmarks
+        # (metric in the old-map frame, depths under the PnP pose) and
+        # the keyframe's CURRENT-ERA links (drifted scale, depths under
+        # the odometry pose).  s = median(d_old) / median(d_drift).
+        from ..geometry.camera import depths as cam_depths
+        d_old = cam_depths(pnp.rvec, pnp.tvec, lms.xyz)
+        old_sel = pnp.inliers & res.mask & old
+        cur_links = fr.landmark[slot]
+        cur_ok = (cur_links >= 0) & fr.kp_valid[slot]
+        safe = jnp.where(cur_ok, cur_links, 0)
+        d_cur = cam_depths(fr.rvec[slot], fr.tvec[slot], lms.xyz[safe])
+        cur_sel = cur_ok & lms.valid[safe]
+
+        def masked_median(vals, mask):
+            return jnp.nanmedian(jnp.where(mask, vals, jnp.nan))
+
+        med_old = masked_median(d_old, old_sel)
+        med_cur = masked_median(d_cur, cur_sel)
+        enough = (jnp.sum(old_sel) >= 10) & (jnp.sum(cur_sel) >= 10) \
+            & (med_cur > 1e-6) & jnp.isfinite(med_old) \
+            & jnp.isfinite(med_cur)
+        s = jnp.where(enough, jnp.clip(med_old / jnp.maximum(med_cur, 1e-6),
+                                       0.5, 2.0), 1.0)
         return LoopProbe(
             ok=pnp.ok & (moved > cfg.loop_min_drift),
             rvec=pnp.rvec, tvec=pnp.tvec,
             n_inliers=pnp.n_inliers,
-            links=links, min_lm_birth=birth_min)
+            links=links, min_lm_birth=birth_min, scale=s)
 
     return probe
 
@@ -121,14 +148,19 @@ def _log_so3(R):
     return th / (2 * np.sin(th)) * w
 
 
-def interpolate_corrections(rv, tv, fracs, d_rvec, d_tvec):
-    """Apply the fraction-scaled world-frame correction to each pose.
+def interpolate_corrections(rv, tv, fracs, d_rvec, d_tvec, scale=1.0):
+    """Apply the fraction-scaled world-frame sim(3) correction to each
+    pose.
 
     The full correction maps drifted world coords to old-map world
-    coords: x_old = dR x_drift + dt.  Pose i (x_cam = R_i x + t_i) in the
-    corrected world becomes R_i' = R_i dRi^T, t_i' = t_i - R_i' dti with
-    (dRi, dti) = the fraction-``fracs[i]`` power of (dR, dt) via SE(3)
-    log-linear interpolation."""
+    coords: x_old = s·dR x_drift + dt (s = monocular scale-drift factor;
+    1.0 gives the SE(3) special case).  At fraction a the family is
+    (s^a, exp(a·log dR), a·dt) — continuous from identity (a=0) to the
+    full correction (a=1).  Pose i (x_cam = R_i x + t_i) becomes
+    R_i' = R_i dRa^T and camera center c_i' = s_a·dRa·c_i + a·dt, i.e.
+    t_i' = -R_i' c_i'.  (Rotation parts of poses are scale-free; the
+    scale enters through the centers and, downstream, through landmark
+    re-triangulation.)"""
     dR = _rodr(d_rvec)
     w = _log_so3(dR)
     out_r = np.empty_like(rv)
@@ -136,11 +168,13 @@ def interpolate_corrections(rv, tv, fracs, d_rvec, d_tvec):
     for i in range(len(rv)):
         a = float(fracs[i])
         dRi = _rodr(w * a)
-        dti = a * d_tvec
+        si = float(scale) ** a
         Ri = _rodr(rv[i])
+        ci = -Ri.T @ tv[i]
         Rn = Ri @ dRi.T
+        cn = si * (dRi @ ci) + a * d_tvec
         out_r[i] = _log_so3(Rn)
-        out_t[i] = tv[i] - Rn @ dti
+        out_t[i] = -Rn @ cn
     return out_r, out_t
 
 
@@ -203,14 +237,19 @@ def close_loop(cfg: SfMConfig, cam: CameraParams, state: SfMState,
     # world_old = T_pnp^-1 cam, world_drift = T_odo^-1 cam
     # -> world_old = (T_pnp^-1 T_odo) world_drift
     # Same physical camera, two world frames: x_cam = R_o x_drift + t_o
-    # (odometry) and x_cam = R_p x_old + t_p (PnP vs the old map) =>
-    # x_old = (R_p^T R_o) x_drift + R_p^T (t_o - t_p)
+    # (odometry) and x_cam = R_p x_old + t_p (PnP vs the old map).  The
+    # sim(3) correction x_old = s·dR x_drift + dt uses the probe's
+    # monocular scale-drift estimate s; rotation dR = R_p^T R_o, and dt
+    # is fixed by the camera-center constraint c_pnp = s·dR·c_odo + dt.
     R_o = _rodr(rv[slot])
     t_o = tv[slot]
     R_p = _rodr(np.asarray(probe.rvec))
     t_p = np.asarray(probe.tvec)
     dR = R_p.T @ R_o
-    dt = R_p.T @ (t_o - t_p)
+    s = float(np.asarray(probe.scale)) if cfg.loop_use_scale else 1.0
+    c_odo = -R_o.T @ t_o
+    c_pnp = -R_p.T @ t_p
+    dt = c_pnp - s * (dR @ c_odo)
     d_rvec = _log_so3(dR)
 
     # chain fractions: 0 at the loop-start era, 1 at the loop keyframe
@@ -223,7 +262,7 @@ def close_loop(cfg: SfMConfig, cam: CameraParams, state: SfMState,
     start_fn = fns[order[birth_rank]]
     span = max(float(loop_fn - start_fn), 1.0)
     fracs = np.clip((fns - start_fn) / span, 0.0, 1.0) * valid
-    rv2, tv2 = interpolate_corrections(rv, tv, fracs, d_rvec, dt)
+    rv2, tv2 = interpolate_corrections(rv, tv, fracs, d_rvec, dt, scale=s)
 
     frames = kfs.frames._replace(rvec=jnp.asarray(rv2.astype(np.float32)),
                                  tvec=jnp.asarray(tv2.astype(np.float32)))
@@ -242,7 +281,7 @@ def close_loop(cfg: SfMConfig, cam: CameraParams, state: SfMState,
     prev = state.prev
     pr, pt = interpolate_corrections(
         np.asarray(prev.rvec)[None], np.asarray(prev.tvec)[None],
-        np.ones(1), d_rvec, dt)
+        np.ones(1), d_rvec, dt, scale=s)
     prev = prev._replace(rvec=jnp.asarray(pr[0].astype(np.float32)),
                          tvec=jnp.asarray(pt[0].astype(np.float32)))
     state = state._replace(prev=prev)

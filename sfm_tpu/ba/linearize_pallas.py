@@ -13,14 +13,25 @@ over the landmark-major table, with zero per-observation HBM gathers:
 
     per landmark tile (grid axis), per k slot:
         R|t|cam_free  <- one-hot MXU dot against the tile's camera window
-                         (the same windowed-gather trick as the Schur
-                         apply; exact via 3-way bf16 splits)
+                         (exact via 3-way bf16 splits)
         r, A[2,6], B[2,3]   elementwise on [tile] lanes (VPU)
         W = A^T B           written DIRECTLY in the packed wt layout the
                             Schur kernel reads -- no transpose pass
         V += B^T B, g_lm += -B^T r w          (per-landmark, in carry)
-        U/g_cam/cost        scattered to the camera window via the
+        U/g_cam/cost        scattered to the TILE's camera window via the
                             transposed one-hot dot (21 sym + 6 + 1 rows)
+
+Camera-window data movement is TILE-BLOCKED, never dynamically lane-
+sliced: the per-tile [16, window] camera operand is pre-gathered on the
+XLA side (lane-block gather), and the per-tile [32, window] U/g/cost
+partial is emitted as a per-tile output and combined by a lane-block
+segment add outside.  The previous design sliced a [16, pad_width] input
+and accumulated into a [32, pad_width] output at a dynamic lane offset
+inside the kernel — Mosaic handles the *pair* of dynamic-lane-offset
+accesses catastrophically: 255 ms vs 5.2 ms for identical math at the pod
+shard shape (C=5120, L=131072, kmax=8, window=256; benchmarks/
+bench_linearize_variants.py, VERDICT r4 item 1).  The windowed combine
+also makes the kernel cost independent of the total camera count.
 
 Outputs: wt [nT, 3, kmax*8, TL] (ready for schur_pallas.SchurOperator),
 vg_t [nT, 16, TL] (V rows 0..8, g_lm rows 9..11), camacc [32, pad_width]
@@ -87,18 +98,20 @@ def build_lin_tables(lm_cam, lm_uv, lm_w, n_cams: int, *, tile: int,
                      window or full, pad_width or full)
 
 
+def _window_segments(lt: LinTables):
+    """[nT, window//LANE] lane-block indices of each tile's camera window
+    inside the [pad_width] camera axis (base and window are LANE-aligned
+    by construction, SchurPlan)."""
+    nblk = lt.window // LANE
+    return (lt.base_t[:, 0] // LANE)[:, None] + \
+        jnp.arange(nblk, dtype=jnp.int32)[None, :]
+
+
 def _linearize_kernel(kmax: int, Cw: int, precision: str,
                       huber_delta: float,
-                      base_ref, kv_ref, cams_ref, uvw_ref, xyzf_ref,
-                      camp_ref, wt_ref, vg_ref, acc_ref):
-    i = pl.program_id(0)
-
-    @pl.when(i == 0)
-    def _():
-        acc_ref[:] = jnp.zeros_like(acc_ref)
-
-    ow = pl.multiple_of(base_ref[i, 0], LANE)
-    campw = camp_ref[:, pl.ds(ow, Cw)]                   # [16, Cw]
+                      kv_ref, cams_ref, uvw_ref, xyzf_ref,
+                      campw_ref, wt_ref, vg_ref, acc_ref):
+    campw = campw_ref[0]                                 # [16, Cw]
     fx, fy, skew = kv_ref[0, 0], kv_ref[0, 1], kv_ref[0, 2]
     cx, cy = kv_ref[0, 3], kv_ref[0, 4]
     x0 = xyzf_ref[0, 0, :]
@@ -193,22 +206,24 @@ def _linearize_kernel(kmax: int, Cw: int, precision: str,
     acc0 = jnp.zeros((32, Cw), jnp.float32)
     vg, acc = jax.lax.fori_loop(0, kmax, body, (vg0, acc0))
     vg_ref[0] = vg
-    acc_ref[:, pl.ds(ow, Cw)] += acc
+    acc_ref[0] = acc
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "kmax", "window", "pad_width", "precision", "huber_delta", "interpret"))
-def linearize_fused(kvals, base_t, cams_t, uvw_t, xyzf_t, campk, *,
-                    kmax: int, window: int, pad_width: int,
+    "kmax", "window", "precision", "huber_delta", "interpret"))
+def linearize_fused(kvals, cams_t, uvw_t, xyzf_t, campw_t, *,
+                    kmax: int, window: int,
                     precision: str = "bf16x3", huber_delta: float = 0.0,
                     interpret: bool = False):
     """One fused linearization pass.
 
-    kvals  [1, 8]            fx, fy, skew, cx, cy (SMEM scalars)
-    xyzf_t [nT, 8, TL]       rows 0..2 xyz, row 3 lm_free
-    campk  [16, pad_width]   rows 0..8 R row-major, 9..11 t, 12 cam_free
+    kvals   [1, 8]            fx, fy, skew, cx, cy (SMEM scalars)
+    xyzf_t  [nT, 8, TL]       rows 0..2 xyz, row 3 lm_free
+    campw_t [nT, 16, window]  per-tile camera windows: rows 0..8 R
+                              row-major, 9..11 t, 12 cam_free
     Returns (wt [nT, 3, kmax*8, TL], vg_t [nT, 16, TL],
-             camacc [32, pad_width])."""
+             acc [nT, 32, window] per-tile windowed U/g_cam/cost
+             partials — combine with window_combine)."""
     nT, KR, TL = cams_t.shape
     K8 = kmax * 8
     return pl.pallas_call(
@@ -216,8 +231,6 @@ def linearize_fused(kvals, base_t, cams_t, uvw_t, xyzf_t, campk, *,
                           huber_delta),
         grid=(nT,),
         in_specs=[
-            pl.BlockSpec((nT, 1), lambda i: (0, 0),
-                         memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 8), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
             # cams block must span ALL max(kmax, 8) packed rows: a fixed
@@ -228,7 +241,7 @@ def linearize_fused(kvals, base_t, cams_t, uvw_t, xyzf_t, campk, *,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 8, TL), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((16, pad_width), lambda i: (0, 0),
+            pl.BlockSpec((1, 16, window), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -236,16 +249,38 @@ def linearize_fused(kvals, base_t, cams_t, uvw_t, xyzf_t, campk, *,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 16, TL), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((32, pad_width), lambda i: (0, 0),
+            pl.BlockSpec((1, 32, window), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((nT, 3, K8, TL), jnp.float32),
             jax.ShapeDtypeStruct((nT, 16, TL), jnp.float32),
-            jax.ShapeDtypeStruct((32, pad_width), jnp.float32),
+            jax.ShapeDtypeStruct((nT, 32, window), jnp.float32),
         ],
         interpret=interpret,
-    )(base_t, kvals, cams_t, uvw_t, xyzf_t, campk)
+    )(kvals, cams_t, uvw_t, xyzf_t, campw_t)
+
+
+def window_gather(campk: jnp.ndarray, lt: LinTables) -> jnp.ndarray:
+    """[R, pad_width] camera matrix -> [nT, R, window] per-tile windows,
+    as a LANE-block gather (nT * window/LANE indices, not per-element)."""
+    R = campk.shape[0]
+    seg = _window_segments(lt)                           # [nT, nblk]
+    blk = campk.reshape(R, lt.pad_width // LANE, LANE)
+    out = blk[:, seg, :]                                 # [R, nT, nblk, LANE]
+    return out.transpose(1, 0, 2, 3).reshape(seg.shape[0], R, lt.window)
+
+
+def window_combine(acc: jnp.ndarray, lt: LinTables) -> jnp.ndarray:
+    """Per-tile windowed partials [nT, R, window] -> [R, pad_width], as a
+    LANE-block segment add (the inverse of window_gather)."""
+    nT, R, _ = acc.shape
+    nblk = lt.window // LANE
+    seg = _window_segments(lt).reshape(-1)               # [nT*nblk]
+    blk = acc.reshape(nT, R, nblk, LANE).transpose(0, 2, 1, 3)
+    out = jnp.zeros((lt.pad_width // LANE, R, LANE), acc.dtype).at[
+        seg].add(blk.reshape(nT * nblk, R, LANE))
+    return out.transpose(1, 0, 2).reshape(R, lt.pad_width)
 
 
 def fused_blocks(K, R, tvec, xyz, lm_free_f, cam_free_f, lt: LinTables, *,
@@ -261,10 +296,12 @@ def fused_blocks(K, R, tvec, xyz, lm_free_f, cam_free_f, lt: LinTables, *,
     packed = jnp.concatenate(
         [R.reshape(C, 9), tvec, cam_free_f[:, None]], axis=1)    # [C, 13]
     campk = jnp.pad(packed, ((0, lt.pad_width - C), (0, 3))).T   # [16, Wp]
-    wt, vg_t, camacc = linearize_fused(
-        kvals, lt.base_t, lt.cams_t, lt.uvw_t, xyzf_t, campk,
-        kmax=lt.kmax, window=lt.window, pad_width=lt.pad_width,
+    campw_t = window_gather(campk, lt)                   # [nT, 16, Cw]
+    wt, vg_t, acc = linearize_fused(
+        kvals, lt.cams_t, lt.uvw_t, xyzf_t, campw_t,
+        kmax=lt.kmax, window=lt.window,
         precision=precision, huber_delta=huber_delta, interpret=interpret)
+    camacc = window_combine(acc, lt)                     # [32, pad_width]
     U = jnp.zeros((C, 6, 6), jnp.float32)
     for idx, (p, q) in enumerate(_SYM6):
         U = U.at[:, p, q].set(camacc[idx, :C])

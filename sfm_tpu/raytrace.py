@@ -227,9 +227,10 @@ def orbit_arc_trajectory(n_frames: int, radius: float = 5.0,
     return rvecs, tvecs
 
 
-def sim3_ate(est_c: np.ndarray, gt_c: np.ndarray) -> float:
-    """Umeyama sim(3)-aligned RMS ATE (own implementation — the validation
-    path shares no evaluation code with the training renderers either)."""
+def sim3_align(est_c: np.ndarray, gt_c: np.ndarray):
+    """Umeyama sim(3): (s, R, t) with gt ~ s R est + t (own implementation
+    — the validation path shares no evaluation code with the training
+    renderers either)."""
     mu_e = est_c.mean(0)
     mu_g = gt_c.mean(0)
     E = est_c - mu_e
@@ -242,5 +243,12 @@ def sim3_ate(est_c: np.ndarray, gt_c: np.ndarray) -> float:
     R = U @ sgn @ Vt
     var_e = (E ** 2).sum() / len(est_c)
     s = np.trace(np.diag(D) @ sgn) / max(var_e, 1e-12)
-    resid = G - (s * (R @ E.T)).T
+    t = mu_g - s * (R @ mu_e)
+    return s, R, t
+
+
+def sim3_ate(est_c: np.ndarray, gt_c: np.ndarray) -> float:
+    """sim(3)-aligned RMS ATE."""
+    s, R, t = sim3_align(est_c, gt_c)
+    resid = gt_c - ((s * (R @ est_c.T)).T + t)
     return float(np.sqrt((resid ** 2).sum(1).mean()))

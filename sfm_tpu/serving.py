@@ -6,9 +6,17 @@ A thin length-prefixed TCP protocol (no external deps):
 
   client -> server:  INIT json {height, width, fx, fy, cx, cy, dist?,
                                 config overrides?}
-                     FRAME raw float32/uint8 grayscale payload
+                     FRAME  [dtype u8][channels u8][pad u16] + raw pixels
+                            (dtype 0 = float32, 1 = uint8;
+                             channels 1 = grayscale, 3 = RGB — RGB keeps
+                             real landmark colors and, with
+                             guidance_enabled, drives scan guidance)
+                     FRAMES same header with pad = frame count: a CHUNK
+                            of frames processed in ONE device call (the
+                            throughput path for offline clients)
                      GET_CLOUD / CLOSE
-  server -> client:  per-frame metrics json (status, counts, pose, ...)
+  server -> client:  per-frame metrics json (status, counts, pose, ...);
+                     a json LIST for FRAMES
                      point cloud (xyz f32 + rgb u8) on GET_CLOUD
 
 Messages are [4-byte BE length][1-byte type][payload].  The server owns one
@@ -33,6 +41,33 @@ MSG_GET_CLOUD = 4
 MSG_CLOUD = 5
 MSG_CLOSE = 6
 MSG_ERROR = 7
+MSG_FRAMES = 8      # chunked frames (one device call)
+
+DTYPE_F32 = 0
+DTYPE_U8 = 1
+
+
+def _frame_header(dtype_code: int, channels: int, count: int = 0) -> bytes:
+    return struct.pack(">BBH", dtype_code, channels, count)
+
+
+def _decode_frames(payload: bytes, shape, chunked: bool) -> np.ndarray:
+    """[dtype u8][channels u8][count u16] + raw pixels -> [N, H, W(, 3)]
+    float32 (uint8 payloads are promoted; the engine normalizes)."""
+    dtype_code, channels, count = struct.unpack(">BBH", payload[:4])
+    if dtype_code not in (DTYPE_F32, DTYPE_U8):
+        raise ValueError(f"unknown frame dtype code {dtype_code}")
+    if channels not in (1, 3):
+        raise ValueError(f"unsupported channel count {channels}")
+    n = count if chunked else 1
+    dt = np.float32 if dtype_code == DTYPE_F32 else np.uint8
+    arr = np.frombuffer(payload[4:], dt)
+    shp = (n,) + tuple(shape) + ((3,) if channels == 3 else ())
+    expect = int(np.prod(shp))
+    if arr.size != expect:
+        raise ValueError(f"frame payload holds {arr.size} px, expected "
+                         f"{expect} for {shp} {np.dtype(dt).name}")
+    return arr.reshape(shp).astype(np.float32)
 
 
 def _send(sock, msg_type: int, payload: bytes) -> None:
@@ -81,10 +116,19 @@ class _ScanHandler(socketserver.BaseRequestHandler):
                 elif msg_type == MSG_FRAME:
                     if eng is None:
                         raise ValueError("FRAME before INIT")
-                    frame = np.frombuffer(payload, np.float32).reshape(shape)
+                    frame = _decode_frames(payload, shape, chunked=False)[0]
                     m = eng.add_frame(frame)
                     out = {k: (v.tolist() if hasattr(v, "tolist") else v)
                            for k, v in m.items()}
+                    _send(self.request, MSG_METRICS,
+                          json.dumps(out).encode())
+                elif msg_type == MSG_FRAMES:
+                    if eng is None:
+                        raise ValueError("FRAMES before INIT")
+                    frames = _decode_frames(payload, shape, chunked=True)
+                    ms = eng.add_frames(frames)
+                    out = [{k: (v.tolist() if hasattr(v, "tolist") else v)
+                            for k, v in m.items()} for m in ms]
                     _send(self.request, MSG_METRICS,
                           json.dumps(out).encode())
                 elif msg_type == MSG_GET_CLOUD:
@@ -138,9 +182,28 @@ class ScanClient:
         _send(self._sock, MSG_INIT, json.dumps(spec).encode())
         return self._expect(MSG_METRICS)
 
+    @staticmethod
+    def _encode(frames: np.ndarray, count: int = 0) -> bytes:
+        """uint8 stays uint8 on the wire (4x less than f32 for camera
+        frames); anything else ships as float32.  [..., 3] is RGB."""
+        frames = np.ascontiguousarray(frames)
+        if frames.dtype != np.uint8:
+            frames = frames.astype(np.float32)
+        code = DTYPE_U8 if frames.dtype == np.uint8 else DTYPE_F32
+        channels = 3 if frames.shape[-1] == 3 and frames.ndim >= 3 else 1
+        return _frame_header(code, channels, count) + frames.tobytes()
+
     def add_frame(self, frame: np.ndarray) -> dict:
-        _send(self._sock, MSG_FRAME,
-              np.ascontiguousarray(frame, np.float32).tobytes())
+        """One frame: [H, W] grayscale or [H, W, 3] RGB, uint8 or float."""
+        _send(self._sock, MSG_FRAME, self._encode(np.asarray(frame)))
+        return self._expect(MSG_METRICS)
+
+    def add_frames(self, frames: np.ndarray) -> list:
+        """A chunk of frames ([N, H, W] or [N, H, W, 3]) processed in one
+        device call server-side; returns the per-frame metrics list."""
+        frames = np.asarray(frames)
+        _send(self._sock, MSG_FRAMES,
+              self._encode(frames, count=frames.shape[0]))
         return self._expect(MSG_METRICS)
 
     def get_cloud(self):

@@ -74,7 +74,7 @@ def centers_of(rv, tv):
     return np.stack([-rodrigues_np(rv[i]).T @ tv[i] for i in range(len(rv))])
 
 
-def main(n_frames=1280, covis=True):
+def main(n_frames=1280, covis=True, turns=1.12):
     import jax
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
@@ -94,7 +94,7 @@ def main(n_frames=1280, covis=True):
     K = np.array([[525.0, 0, 320.0], [0, 525.0, 240.0], [0, 0, 1]],
                  np.float32)
     scene = make_ring_scene()
-    rvecs, tvecs = ring_loop_trajectory(n_frames)
+    rvecs, tvecs = ring_loop_trajectory(n_frames, turns=turns)
 
     CHUNK = cfg.keyframe_time_lag  # deferred-mapping add_frames path
     n_frames -= n_frames % CHUNK
@@ -181,5 +181,9 @@ def main(n_frames=1280, covis=True):
 
 if __name__ == "__main__":
     covis = "--no-covis" not in sys.argv[1:]
+    turns = 1.12
+    for a in sys.argv[1:]:
+        if a.startswith("--turns="):
+            turns = float(a.split("=")[1])
     args = [int(a) for a in sys.argv[1:] if not a.startswith("--")]
-    main(*args, covis=covis)
+    main(*args, covis=covis, turns=turns)

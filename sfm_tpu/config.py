@@ -212,13 +212,19 @@ class SfMConfig:
     loop_min_age: int = 30         # landmark age (KFs) to count as "old"
     loop_min_inliers: int = 25     # PnP support to accept a loop
     loop_min_drift: float = 0.05   # m of camera-center disagreement
-    # EXPERIMENTAL: apply the probe's monocular scale-drift estimate as a
-    # sim(3) (rather than SE(3)) chain correction.  Default off: on the
-    # ring-orbit loop bench the median-depth-ratio estimate was unreliable
-    # enough to destabilize the corrected map (end drift 6.6 m vs 0.83 m
-    # with the SE(3) correction — round-4 negative result); the estimate
-    # itself is still computed and reported in LoopProbe.scale.
-    loop_use_scale: bool = False
+    # apply the probe's monocular scale-drift estimate as a sim(3)
+    # (rather than SE(3)) chain correction.  Round 5: the estimate is now
+    # the robust median of PAIRWISE-DISTANCE ratios over old<->current
+    # positions of the SAME matched physical points (invariant to the
+    # SE(3) drift part), gated on pair count and dispersion — it degrades
+    # to the identity (pure SE(3)) whenever the gate fails, so it is safe
+    # on by default.  (The round-4 median-depth-ratio estimate compared
+    # two different landmark populations, measured unreliable — 6.6 m vs
+    # 0.83 m end drift — and shipped off; that negative result drove this
+    # redesign.)
+    loop_use_scale: bool = True
+    loop_scale_min_pairs: int = 8      # matched old<->current point pairs
+    loop_scale_max_dispersion: float = 0.15   # MAD/median gate
 
     # ---- scan guidance (ref: CScanGuidance.cpp:11-21) ----
     # guidance runs inside the jitted step on every RUNNING frame when the

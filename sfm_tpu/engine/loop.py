@@ -49,6 +49,8 @@ class LoopProbe(NamedTuple):
     min_lm_birth: jnp.ndarray  # oldest matched landmark's birth keyframe
     scale: jnp.ndarray       # monocular scale-drift estimate s
                              # (x_old ~ s * x_drift); 1.0 when unreliable
+    scale_ok: jnp.ndarray    # pair-based estimate passed count+dispersion
+    n_pairs: jnp.ndarray     # old<->current landmark pairs behind it
 
 
 def build_loop_probe(cfg: SfMConfig, cam: CameraParams):
@@ -104,34 +106,80 @@ def build_loop_probe(cfg: SfMConfig, cam: CameraParams):
         birth_min = jnp.min(jnp.where(
             (res.mask & old & pnp.inliers), n_kf_now - lms.kf_alive, 2**30))
 
-        # monocular scale-drift estimate: the same physical scene is
-        # visible through two landmark sets — the matched OLD landmarks
-        # (metric in the old-map frame, depths under the PnP pose) and
-        # the keyframe's CURRENT-ERA links (drifted scale, depths under
-        # the odometry pose).  s = median(d_old) / median(d_drift).
-        from ..geometry.camera import depths as cam_depths
-        d_old = cam_depths(pnp.rvec, pnp.tvec, lms.xyz)
-        old_sel = pnp.inliers & res.mask & old
-        cur_links = fr.landmark[slot]
-        cur_ok = (cur_links >= 0) & fr.kp_valid[slot]
-        safe = jnp.where(cur_ok, cur_links, 0)
-        d_cur = cam_depths(fr.rvec[slot], fr.tvec[slot], lms.xyz[safe])
-        cur_sel = cur_ok & lms.valid[safe]
-
-        med_old = _masked_median(d_old, old_sel)
-        med_cur = _masked_median(d_cur, cur_sel)
-        enough = (jnp.sum(old_sel) >= 10) & (jnp.sum(cur_sel) >= 10) \
-            & (med_cur > 1e-6) & jnp.isfinite(med_old) \
-            & jnp.isfinite(med_cur)
-        s = jnp.where(enough, jnp.clip(med_old / jnp.maximum(med_cur, 1e-6),
-                                       0.5, 2.0), 1.0)
+        # monocular scale-drift estimate v2 (round 5): match OLD
+        # landmarks against the keyframe's LINKED keypoints too — a
+        # linked keypoint whose descriptor matches an old landmark pins
+        # the SAME physical point in both maps (old position X_o, and
+        # its current-era twin X_c through the keypoint's link).  The
+        # scale is then the robust median of PAIRWISE-DISTANCE ratios
+        # |X_o_i - X_o_j| / |X_c_i - X_c_j|, which is invariant to the
+        # SE(3) part of the drift.  (The round-4 median-depth-ratio
+        # estimate compared two DIFFERENT landmark populations and
+        # measured unreliable — an honest negative result this replaces.)
+        from ..geometry.camera import project, depths as cam_depths
+        kp_linked = fr.kp_valid[slot] & (fr.landmark[slot] >= 0)
+        res2 = matcher(
+            state.rep_desc, jnp.zeros((L, 2)), old,
+            desc, xy, kp_linked,
+            min_radius=0.0, max_radius=1e9,
+            max_distance=cfg.match_max_distance, ratio=cfg.match_ratio)
+        kp2 = jnp.where(res2.mask, res2.idx, 0)
+        cur_ids = fr.landmark[slot][kp2]
+        # geometric gate: the old landmark must reproject onto the
+        # matched keypoint under the PnP (old-map) pose
+        proj_old = project(cam.Kopt, pnp.rvec, pnp.tvec, lms.xyz)
+        gerr = jnp.linalg.norm(proj_old - xy[kp2], axis=-1)
+        z_old = cam_depths(pnp.rvec, pnp.tvec, lms.xyz)
+        safe_cur = jnp.where(cur_ids >= 0, cur_ids, 0)
+        pair_ok = (res2.mask & old & pnp.ok & (z_old > 0)
+                   & (gerr < 2.0 * cfg.max_reproj_error)
+                   & (cur_ids >= 0) & lms.valid[safe_cur]
+                   & (lms.kf_alive[safe_cur] < cfg.loop_min_age)
+                   & (safe_cur != lm_ids))
+        s, s_ok, n_pairs = _scale_from_pairs(
+            lms.xyz, lms.xyz[safe_cur], pair_ok,
+            min_pairs=cfg.loop_scale_min_pairs,
+            max_dispersion=cfg.loop_scale_max_dispersion)
         return LoopProbe(
             ok=pnp.ok & (moved > cfg.loop_min_drift),
             rvec=pnp.rvec, tvec=pnp.tvec,
             n_inliers=pnp.n_inliers, drift=moved,
-            links=links, min_lm_birth=birth_min, scale=s)
+            links=links, min_lm_birth=birth_min, scale=s,
+            scale_ok=s_ok, n_pairs=n_pairs)
 
     return probe
+
+
+def _scale_from_pairs(Xo, Xc, mask, *, min_pairs: int = 8,
+                      max_dispersion: float = 0.15, n_keep: int = 64):
+    """Robust monocular scale from old<->current positions of the SAME
+    physical points: median over pairs (i, j) of
+    |Xo_i - Xo_j| / |Xc_i - Xc_j|.  Returns (s, ok, n_point_pairs); s is
+    1.0 (identity) whenever the estimate fails its count or dispersion
+    gate, so callers can apply it unconditionally."""
+    order = jnp.argsort(~mask)              # matched rows first (stable)
+    idx = order[:n_keep]
+    m = mask[idx]
+    xo, xc = Xo[idx], Xc[idx]
+    ratios, valid = [], []
+    for shift in (1, 2, 3, 5, 8, 13, 21):
+        xo2 = jnp.roll(xo, shift, axis=0)
+        xc2 = jnp.roll(xc, shift, axis=0)
+        m2 = jnp.roll(m, shift)
+        do = jnp.linalg.norm(xo - xo2, axis=-1)
+        dc = jnp.linalg.norm(xc - xc2, axis=-1)
+        ratios.append(do / jnp.maximum(dc, 1e-9))
+        valid.append(m & m2 & (do > 1e-6) & (dc > 1e-6))
+    r = jnp.concatenate(ratios)
+    v = jnp.concatenate(valid)
+    med = _masked_median(r, v)
+    mad = _masked_median(jnp.abs(r - med), v)
+    n_points = jnp.sum(mask)
+    ok = ((n_points >= min_pairs) & jnp.isfinite(med)
+          & (mad <= max_dispersion * med)
+          & (med > 0.4) & (med < 2.5))
+    s = jnp.where(ok, jnp.clip(med, 0.4, 2.5), 1.0)
+    return s, ok, n_points
 
 
 def _masked_median(vals, mask):
@@ -264,11 +312,17 @@ def retriangulate_landmarks(cfg: SfMConfig, cam: CameraParams,
 
 
 def close_loop(cfg: SfMConfig, cam: CameraParams, state: SfMState,
-               slot: int, probe: LoopProbe) -> SfMState:
-    """Host-level loop correction: interpolate the SE(3) drift correction
-    along the keyframe chain, write the detected old-landmark links into
-    the loop keyframe, re-triangulate, and return the corrected state
-    (callers should run global BA afterwards)."""
+               slot: int, probe: LoopProbe,
+               min_start_fn: int = -1) -> SfMState:
+    """Host-level loop correction: interpolate the sim(3)/SE(3) drift
+    correction along the keyframe chain, write the detected old-landmark
+    links into the loop keyframe, re-triangulate, and return the
+    corrected state (callers should run global BA afterwards).
+
+    ``min_start_fn``: frame number of the previous closure's loop
+    keyframe (or -1).  The interpolation never starts before it — a
+    second closure corrects only the drift accumulated SINCE the first,
+    instead of re-warping the span the first already fixed."""
     kfs = state.kfs
     valid = np.asarray(kfs.valid)
     fns = np.asarray(kfs.frames.frame_no)
@@ -303,7 +357,7 @@ def close_loop(cfg: SfMConfig, cam: CameraParams, state: SfMState,
     n_valid = int(valid.sum())
     birth_rank = int(np.asarray(probe.min_lm_birth))
     birth_rank = max(0, min(birth_rank, n_valid - 1))
-    start_fn = fns[order[birth_rank]]
+    start_fn = max(int(fns[order[birth_rank]]), int(min_start_fn))
     span = max(float(loop_fn - start_fn), 1.0)
     fracs = np.clip((fns - start_fn) / span, 0.0, 1.0) * valid
     rv2, tv2 = interpolate_corrections(rv, tv, fracs, d_rvec, dt, scale=s)

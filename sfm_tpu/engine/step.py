@@ -239,8 +239,11 @@ class SfMEngine:
                                                 jnp.asarray(slot)))
         if not bool(probe.ok):
             return False
+        # a second closure corrects only drift accumulated since the
+        # previous one (never re-warps the span it already fixed)
+        last_fn = self.loop_closures[-1][0] if self.loop_closures else -1
         self.state = close_loop(self.config, self.cam, self.state, slot,
-                                probe)
+                                probe, min_start_fn=last_fn)
         for _ in range(2):
             self.global_ba()
         self.loop_closures.append((int(fns[slot]),

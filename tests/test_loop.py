@@ -3,6 +3,7 @@ math on a synthetic drifted chain, and end-to-end detection+correction on
 a small drift-injected scan."""
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 import pytest
 
@@ -95,7 +96,136 @@ class TestInterpolation:
             vals, jnp.zeros(5, bool))))
 
 
-class TestRetriangulate:
+class TestScaleFromPairs:
+    def _drift(self, rng, n, s, noise=0.0):
+        from sfm_tpu.engine.loop import _rodr
+        Xo = np.stack([rng.uniform(-3, 3, n), rng.uniform(-2, 2, n),
+                       rng.uniform(4, 9, n)], 1)
+        R = _rodr(np.array([0.1, -0.2, 0.05]))
+        t = np.array([0.7, -0.3, 1.1])
+        # x_old = s * dR x_drift + dt  ->  x_drift = dR^T (x_old - dt)/s
+        Xc = (R.T @ ((Xo - t) / s).T).T
+        if noise:
+            Xc = Xc + rng.normal(0, noise, Xc.shape)
+        return jnp.asarray(Xo.astype(np.float32)), \
+            jnp.asarray(Xc.astype(np.float32))
+
+    def test_recovers_scale(self, rng):
+        from sfm_tpu.engine.loop import _scale_from_pairs
+        for s_true in (0.7, 1.0, 1.6):
+            Xo, Xc = self._drift(rng, 40, s_true)
+            mask = jnp.ones(40, bool)
+            s, ok, n = _scale_from_pairs(Xo, Xc, mask)
+            assert bool(ok) and int(n) == 40
+            assert abs(float(s) - s_true) < 0.02 * s_true
+
+    def test_robust_to_outlier_pairs(self, rng):
+        from sfm_tpu.engine.loop import _scale_from_pairs
+        Xo, Xc = self._drift(rng, 40, 1.4, noise=0.01)
+        Xc = Xc.at[::9].add(jnp.asarray(rng.normal(0, 3.0, (5, 3)),
+                                        jnp.float32))   # gross outliers
+        s, ok, _ = _scale_from_pairs(Xo, Xc, jnp.ones(40, bool))
+        assert bool(ok)
+        assert abs(float(s) - 1.4) < 0.1
+
+    def test_gates_fail_closed(self, rng):
+        from sfm_tpu.engine.loop import _scale_from_pairs
+        # too few pairs -> identity
+        Xo, Xc = self._drift(rng, 40, 1.5)
+        few = jnp.arange(40) < 4
+        s, ok, _ = _scale_from_pairs(Xo, Xc, few)
+        assert not bool(ok) and float(s) == 1.0
+        # incoherent correspondences -> dispersion gate -> identity
+        Xc_junk = Xc[jnp.asarray(np.random.default_rng(5)
+                                 .permutation(40))]
+        s, ok, _ = _scale_from_pairs(Xo, Xc_junk, jnp.ones(40, bool))
+        assert not bool(ok) and float(s) == 1.0
+
+
+class TestSim3Correction:
+    def _drifted_state(self, s_end):
+        """A 6-keyframe chain with PROGRESSIVE monocular scale drift:
+        stored poses/landmarks shrink toward 1/s_end of truth while the
+        stored observations are what the cameras actually saw (projected
+        from the TRUE scene) — the classic monocular failure the sim(3)
+        correction exists for."""
+        import jax.numpy as jnp
+        from sfm_tpu.config import SfMConfig
+        from sfm_tpu.engine.state import CameraParams, init_state
+        cfg = SfMConfig(max_keypoints=32, max_keyframes=8,
+                        max_landmarks=64, image_height=96, image_width=128,
+                        pyramid_levels=2, ba_kmax=8)
+        K = np.array([[100.0, 0, 64], [0, 100.0, 48], [0, 0, 1]],
+                     np.float32)
+        cam = CameraParams(K=jnp.asarray(K), d=jnp.zeros(5),
+                           Kopt=jnp.asarray(K))
+        rng = np.random.default_rng(2)
+        nk, nl = 6, 24
+        X = np.stack([rng.uniform(-2, 2, nl), rng.uniform(-1.5, 1.5, nl),
+                      rng.uniform(5, 8, nl)], 1).astype(np.float32)
+        c_true = np.stack([np.array([0.45 * k, 0, 0]) for k in range(nk)])
+        gamma = 1.0 / np.linspace(1.0, s_end, nk)   # drifted = true*gamma
+        landmark = np.full((8, 32), -1, np.int32)
+        xy = np.zeros((8, 32, 2), np.float32)
+        rvs = np.zeros((8, 3), np.float32)
+        tvs = np.zeros((8, 3), np.float32)
+        for k in range(nk):
+            # stored (drifted) pose: center scaled toward the origin
+            c_drift = gamma[k] * c_true[k]
+            tvs[k] = -c_drift
+            # stored observations: what the TRUE camera saw
+            p = X - c_true[k]
+            uv = (p[:, :2] / p[:, 2:]) * 100.0 + np.array([64.0, 48.0])
+            xy[k, :nl] = uv
+            landmark[k, :nl] = np.arange(nl)
+        state = init_state(cfg)
+        fr = state.kfs.frames._replace(
+            landmark=jnp.asarray(landmark), xy=jnp.asarray(xy),
+            rvec=jnp.asarray(rvs), tvec=jnp.asarray(tvs),
+            kp_valid=jnp.asarray(np.arange(32)[None, :].repeat(8, 0) < nl),
+            frame_no=jnp.arange(8, dtype=jnp.int32))
+        lms = state.lms._replace(
+            valid=jnp.asarray(np.arange(64) < nl),
+            xyz=jnp.asarray(np.pad(X / s_end, ((0, 40), (0, 0))
+                                   ).astype(np.float32)))
+        state = state._replace(
+            kfs=state.kfs._replace(
+                frames=fr, valid=jnp.asarray(np.arange(8) < nk)),
+            lms=lms, prev=jax.tree.map(lambda x: x[nk - 1], fr))
+        return cfg, cam, state, c_true, nk
+
+    def _probe(self, c_true, nk, scale):
+        import jax.numpy as jnp
+        from sfm_tpu.engine.loop import LoopProbe
+        return LoopProbe(
+            ok=jnp.asarray(True),
+            rvec=jnp.zeros(3),
+            tvec=jnp.asarray(-c_true[nk - 1].astype(np.float32)),
+            n_inliers=jnp.asarray(30), drift=jnp.asarray(1.0),
+            links=jnp.full((32,), -1, jnp.int32),
+            min_lm_birth=jnp.asarray(0),
+            scale=jnp.asarray(np.float32(scale)),
+            scale_ok=jnp.asarray(scale != 1.0),
+            n_pairs=jnp.asarray(20))
+
+    def test_sim3_beats_se3_on_scale_drift(self):
+        """With deliberate progressive scale drift, the sim(3) correction
+        (true scale from the pair estimator) must land the chain on the
+        ground truth where the SE(3) special case structurally cannot
+        (VERDICT r4 item 6)."""
+        from sfm_tpu.engine.loop import close_loop
+        s_end = 1.5
+        errs = {}
+        for scale in (s_end, 1.0):
+            cfg, cam, state, c_true, nk = self._drifted_state(s_end)
+            out = close_loop(cfg, cam, state, nk - 1,
+                             self._probe(c_true, nk, scale))
+            rv = np.asarray(out.kfs.frames.rvec)[:nk]
+            tv = np.asarray(out.kfs.frames.tvec)[:nk]
+            cs = np.stack([-_rodr(rv[i]).T @ tv[i] for i in range(nk)])
+            errs[scale] = float(np.abs(cs - c_true).max())
+        assert errs[s_end] < 0.05, errs
+        assert errs[s_end] < errs[1.0] / 3, errs
     def test_recovers_points_from_poses(self):
         from sfm_tpu.config import SfMConfig
         from sfm_tpu.engine.state import CameraParams, init_state, Frame

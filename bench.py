@@ -147,16 +147,23 @@ def main(record=True):
               "comparable across runs", file=sys.stderr)
         raise SystemExit(1)
     # pure tracking: 8 chunk dispatches queued back-to-back, one sync —
-    # the ~26 ms tunnel round trip amortizes to < 0.4 ms/frame
+    # the ~26 ms tunnel round trip amortizes to < 0.4 ms/frame.
+    # MIN OVER 3 BATCHES (round 5): the tunneled chip is time-shared, so
+    # a contended batch reads 10-100x slow; the min is the uncontended
+    # capability (what a dedicated chip delivers).
     N_PURE = 8
+    batch_times = []
     pure_metrics = []
-    t0 = time.time()
-    for _ in range(N_PURE):
-        state, m = chunk_step(state, jitter)
-        pure_metrics.append(m)
-    jax.block_until_ready(state.status)
-    _ = np.asarray(state.frame_count)
-    pure_total = time.time() - t0
+    for b in range(3):
+        t0 = time.time()
+        for _ in range(N_PURE):
+            state, m = chunk_step(state, jitter)
+            if b == 0:
+                pure_metrics.append(m)
+        jax.block_until_ready(state.status)
+        _ = np.asarray(state.frame_count)
+        batch_times.append(time.time() - t0)
+    pure_total = min(batch_times)
     pure_statuses = []
     for m in pure_metrics:
         fetched = jax.device_get(m)

@@ -74,7 +74,7 @@ def centers_of(rv, tv):
     return np.stack([-rodrigues_np(rv[i]).T @ tv[i] for i in range(len(rv))])
 
 
-def main(n_frames=1280, covis=True, turns=1.12):
+def main(n_frames=1280, covis=True, turns=1.12, scale=True):
     import jax
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
@@ -89,7 +89,8 @@ def main(n_frames=1280, covis=True, turns=1.12):
     # >= 25 PnP inliers with > 0.3 m of pose disagreement.  The covis=off
     # ablation also disables detection (pure odometry baseline).
     cfg_kw.update(loop_detect_every=8 if covis else 0, loop_min_age=60,
-                  loop_min_inliers=25, loop_min_drift=0.3)
+                  loop_min_inliers=25, loop_min_drift=0.3,
+                  loop_use_scale=scale)
     cfg = SfMConfig(**cfg_kw)
     K = np.array([[525.0, 0, 320.0], [0, 525.0, 240.0], [0, 0, 1]],
                  np.float32)
@@ -181,9 +182,10 @@ def main(n_frames=1280, covis=True, turns=1.12):
 
 if __name__ == "__main__":
     covis = "--no-covis" not in sys.argv[1:]
+    scale = "--no-scale" not in sys.argv[1:]
     turns = 1.12
     for a in sys.argv[1:]:
         if a.startswith("--turns="):
             turns = float(a.split("=")[1])
     args = [int(a) for a in sys.argv[1:] if not a.startswith("--")]
-    main(*args, covis=covis, turns=turns)
+    main(*args, covis=covis, turns=turns, scale=scale)

@@ -61,16 +61,18 @@ def build_loop_probe(cfg: SfMConfig, cam: CameraParams):
         desc = fr.desc[slot]
         xy = fr.xy[slot]
         kp_valid = fr.kp_valid[slot] & (fr.landmark[slot] < 0)
-        # candidates: live landmarks old enough to be a different era,
-        # excluding landmarks the mapping pass already linked into this
-        # keyframe (a re-observed landmark matching a second, unlinked
-        # keypoint would write a duplicate per-camera observation —
-        # mirror widen_tracks' `already` mask)
+        # candidates: live landmarks old enough to be a different era.
+        # Landmarks the mapping pass already re-observed in this keyframe
+        # STAY in the candidate set — they anchor the PnP against
+        # texture aliasing (excluding them measurably let a coherent
+        # aliased cluster win RANSAC on the ring bench: a 148 m spurious
+        # "closure") — but are masked out of the LINK writing below so a
+        # second match can never duplicate a per-camera observation
         L0 = lms.valid.shape[0]
         kf_links = fr.landmark[slot]
         already = jnp.zeros((L0,), bool).at[
             jnp.where(kf_links >= 0, kf_links, L0)].set(True, mode="drop")
-        old = lms.valid & ~already & (lms.kf_alive >= cfg.loop_min_age)
+        old = lms.valid & (lms.kf_alive >= cfg.loop_min_age)
         matcher = match_features_pallas if cfg.use_pallas_matcher \
             else match_features
         res = matcher(
@@ -91,7 +93,8 @@ def build_loop_probe(cfg: SfMConfig, cam: CameraParams):
         L = lms.valid.shape[0]
         lm_ids = jnp.arange(L, dtype=jnp.int32)
         links = jnp.full((N,), -1, jnp.int32).at[
-            jnp.where(pnp.inliers, res.idx, N)].set(lm_ids, mode="drop")
+            jnp.where(pnp.inliers & ~already, res.idx, N)].set(
+                lm_ids, mode="drop")
         # drift gate: the PnP pose must disagree with the odometry pose
         # (else this is ordinary re-observation, nothing to correct)
         c_pnp = -(projection_matrix(pnp.rvec, pnp.tvec)[:, :3].T
@@ -311,18 +314,36 @@ def retriangulate_landmarks(cfg: SfMConfig, cam: CameraParams,
     return state._replace(lms=lms._replace(xyz=xyz))
 
 
+def _start_frame(fns, valid, probe) -> int:
+    """Frame number where a closure's interpolation starts: the birth-era
+    keyframe of the oldest matched landmark."""
+    order = np.argsort(np.where(valid, fns, 2**30))
+    n_valid = int(valid.sum())
+    birth_rank = max(0, min(int(np.asarray(probe.min_lm_birth)),
+                            n_valid - 1))
+    return int(fns[order[birth_rank]])
+
+
 def close_loop(cfg: SfMConfig, cam: CameraParams, state: SfMState,
                slot: int, probe: LoopProbe,
-               min_start_fn: int = -1) -> SfMState:
+               corrected_spans=None) -> SfMState:
     """Host-level loop correction: interpolate the sim(3)/SE(3) drift
     correction along the keyframe chain, write the detected old-landmark
     links into the loop keyframe, re-triangulate, and return the
     corrected state (callers should run global BA afterwards).
 
-    ``min_start_fn``: frame number of the previous closure's loop
-    keyframe (or -1).  The interpolation never starts before it — a
-    second closure corrects only the drift accumulated SINCE the first,
-    instead of re-warping the span the first already fixed."""
+    Multi-loop scoping (round 5, both points measured on the ring
+    bench): each closure's SPAN is set by its matched-landmark birth
+    era, never clamped by previous closures — consecutive closures at a
+    revisit carry better information about the SAME drifted span and
+    must re-correct it (clamping measured 0.35 -> 1.45 m end drift),
+    while a genuinely disjoint second loop (figure-8 second lobe)
+    matches landmarks born after the first closure, so its span starts
+    there automatically.  The SCALE component, by contrast, is
+    first-contact-only: pass ``corrected_spans`` (list of closed
+    (start_fn, loop_fn) pairs) and any overlap forces the SE(3) special
+    case (re-applying a scale ramp over an already-corrected span
+    measured 0.35 -> 2.42 m)."""
     kfs = state.kfs
     valid = np.asarray(kfs.valid)
     fns = np.asarray(kfs.frames.frame_no)
@@ -345,6 +366,20 @@ def close_loop(cfg: SfMConfig, cam: CameraParams, state: SfMState,
     t_p = np.asarray(probe.tvec)
     dR = R_p.T @ R_o
     s = float(np.asarray(probe.scale)) if cfg.loop_use_scale else 1.0
+    # scale is FIRST-CONTACT-ONLY information: once a span has been
+    # closed (+ re-triangulated + BA'd), its scale is pinned to the old
+    # map; a later closure's pair estimate over the same span mixes
+    # already-corrected and still-drifted structure, and re-applying a
+    # scale ramp measurably reintroduces error (ring bench: 0.35 ->
+    # 1.45-2.42 m end drift).  Callers pass corrected_spans; overlap
+    # forces the SE(3) special case.
+    if corrected_spans:
+        loop_fn_i = int(fns[slot])
+        start_probe = _start_frame(fns, valid, probe)
+        for a, b in corrected_spans:
+            if start_probe <= b and loop_fn_i >= a:
+                s = 1.0
+                break
     c_odo = -R_o.T @ t_o
     c_pnp = -R_p.T @ t_p
     dt = c_pnp - s * (dR @ c_odo)
@@ -357,7 +392,7 @@ def close_loop(cfg: SfMConfig, cam: CameraParams, state: SfMState,
     n_valid = int(valid.sum())
     birth_rank = int(np.asarray(probe.min_lm_birth))
     birth_rank = max(0, min(birth_rank, n_valid - 1))
-    start_fn = max(int(fns[order[birth_rank]]), int(min_start_fn))
+    start_fn = int(fns[order[birth_rank]])
     span = max(float(loop_fn - start_fn), 1.0)
     fracs = np.clip((fns - start_fn) / span, 0.0, 1.0) * valid
     rv2, tv2 = interpolate_corrections(rv, tv, fracs, d_rvec, dt, scale=s)

@@ -224,6 +224,112 @@ class TestMultiScanDriver:
                                    np.asarray(f32_state.prev.tvec),
                                    atol=1e-6)
 
+    def test_rgb_fleet_runs_guidance(self, rng):
+        """An RGB fleet gets per-scan scan-guidance outputs from the
+        tracking-only step (VERDICT r4 missing #4: fleet_tracking_only
+        used to no-op guidance)."""
+        import jax.numpy as jnp
+        from sfm_tpu.config import SfMConfig
+        from sfm_tpu.engine.state import CameraParams
+        from sfm_tpu.parallel.multiscan import MultiScanDriver
+        from render import SpriteScene, strafe_trajectory
+
+        cfg = SfMConfig(max_keypoints=96, max_keyframes=4, max_landmarks=256,
+                        image_height=120, image_width=160, pyramid_levels=2,
+                        ransac_hypotheses=32, pnp_hypotheses=16,
+                        ba_iterations=3, keyframe_min_tracked=10,
+                        keyframe_time_lag=4, min_init_matches=15,
+                        mapping_tri_keyframes=2, mapping_reobs_keyframes=2)
+        K = np.array([[130., 0, 80], [0, 130., 60], [0, 0, 1]], np.float32)
+        cam = CameraParams(K=jnp.asarray(K), d=jnp.zeros(5),
+                           Kopt=jnp.asarray(K))
+        B = 2
+        drv = MultiScanDriver(cfg, cam, batch=B, bucket=2)
+        scenes = [SpriteScene(np.random.default_rng(20 + b), n_sprites=80)
+                  for b in range(B)]
+        rv, tv = strafe_trajectory(10, step=0.08)
+        for i in range(10):
+            imgs = np.stack([s.render(K, rv[i], tv[i], 120, 160, rgb=True)
+                             for s in scenes])        # [B, H, W, 3]
+            m = drv.step(jnp.asarray(imgs))
+        assert (np.asarray(m.status) == 1).sum() >= 1
+        # guidance produced a nonzero oriented bbox for running scans
+        ext = np.asarray(m.guid_bbox_extent)
+        run = np.asarray(m.status) == 1
+        assert (ext[run].max(axis=1) > 0).any()
+
+    def test_fleet_loop_probe_and_injected_closure(self, rng):
+        """probe_loops: the vmapped probe is a no-op on a healthy fleet,
+        and an injected detection corrects ONLY the targeted scan (write-
+        back isolation) while logging the closure."""
+        import jax
+        import jax.numpy as jnp
+        from sfm_tpu.config import SfMConfig
+        from sfm_tpu.engine.state import CameraParams
+        from sfm_tpu.engine.loop import LoopProbe
+        from sfm_tpu.parallel.multiscan import MultiScanDriver
+        from render import SpriteScene, strafe_trajectory
+
+        cfg = SfMConfig(max_keypoints=96, max_keyframes=4, max_landmarks=256,
+                        image_height=120, image_width=160, pyramid_levels=2,
+                        ransac_hypotheses=32, pnp_hypotheses=16,
+                        ba_iterations=3, keyframe_min_tracked=10,
+                        keyframe_time_lag=4, min_init_matches=15,
+                        mapping_tri_keyframes=2, mapping_reobs_keyframes=2,
+                        loop_min_inliers=10, loop_min_drift=0.01)
+        K = np.array([[130., 0, 80], [0, 130., 60], [0, 0, 1]], np.float32)
+        cam = CameraParams(K=jnp.asarray(K), d=jnp.zeros(5),
+                           Kopt=jnp.asarray(K))
+        B = 3
+        drv = MultiScanDriver(cfg, cam, batch=B, bucket=2)
+        scenes = [SpriteScene(np.random.default_rng(20 + b), n_sprites=80)
+                  for b in range(B)]
+        rv, tv = strafe_trajectory(10, step=0.08)
+        for i in range(10):
+            imgs = np.stack([s.render(K, rv[i], tv[i], 120, 160)
+                             for s in scenes])
+            drv.step(jnp.asarray(imgs))
+        assert (np.asarray(drv.states.status) == 1).sum() >= 2
+
+        # healthy fleet: the real vmapped probe detects nothing
+        assert drv.probe_loops() == []
+        assert drv.loop_closures == []
+
+        # inject a detection for scan 1 only: PnP pose = its newest KF
+        # pose nudged sideways (drift beyond the gate)
+        before = jax.device_get(drv.states)
+        fns = np.where(np.asarray(before.kfs.valid),
+                       np.asarray(before.kfs.frames.frame_no), -1)
+        slots = fns.argmax(axis=1)
+        tgt = 1
+        rv_t = np.asarray(before.kfs.frames.rvec)[tgt, slots[tgt]]
+        tv_t = np.asarray(before.kfs.frames.tvec)[tgt, slots[tgt]]
+        N = cfg.max_keypoints
+        mk = lambda x: jnp.asarray(np.stack([np.asarray(x, np.float32)] * B))
+        probes = LoopProbe(
+            ok=jnp.asarray([False, True, False]),
+            rvec=mk(rv_t), tvec=mk(tv_t + np.array([0.05, 0, 0])),
+            n_inliers=jnp.full((B,), 20, jnp.int32),
+            drift=jnp.full((B,), 0.05, jnp.float32),
+            links=jnp.full((B, N), -1, jnp.int32),
+            min_lm_birth=jnp.zeros((B,), jnp.int32),
+            scale=jnp.ones((B,), jnp.float32),
+            scale_ok=jnp.zeros((B,), bool),
+            n_pairs=jnp.zeros((B,), jnp.int32))
+        closed = drv.probe_loops(probes=probes, slots=jnp.asarray(slots))
+        assert len(closed) == 1 and closed[0][0] == tgt
+        assert drv.loop_closures == closed
+        after = jax.device_get(drv.states)
+        # untouched scans are bit-identical
+        for i in (0, 2):
+            np.testing.assert_array_equal(
+                np.asarray(after.kfs.frames.tvec)[i],
+                np.asarray(before.kfs.frames.tvec)[i])
+        # the corrected scan's poses moved
+        assert np.abs(np.asarray(after.kfs.frames.tvec)[tgt]
+                      - np.asarray(before.kfs.frames.tvec)[tgt]).max() \
+            > 1e-4
+
 
 class TestDistLargeBA:
     def test_parity_with_single_device_large(self, rng):

@@ -33,6 +33,12 @@ class SfMConfig:
     feature_dtype: str = "float32"  # dense detector/descriptor compute dtype
                                     # ("bfloat16" halves the memory-bound
                                     # detection cost; geometry stays f32)
+    patch_int8: bool = False       # int8 MXU path for the descriptor's
+                                   # patch-extraction selection matmul
+                                   # (the dominant fleet tracking term):
+                                   # 2x the bf16 MXU rate; quantization
+                                   # is 1/127 px of lerp + ~0.5 intensity
+                                   # level, below the sensor-noise floor
     nms_radius: int = 2            # non-max suppression radius (pixels)
     detector_approx_topk: bool = False  # TPU PartialReduce top-k (~10x
                                         # faster than the exact sort

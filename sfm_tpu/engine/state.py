@@ -154,7 +154,8 @@ def make_frame(cfg: SfMConfig, cam: CameraParams, image: jnp.ndarray,
                          approx_topk=cfg.detector_approx_topk)
     desc = describe_canvas(canvas, kps, cfg.pyramid_levels,
                            cfg.image_width, cfg.desc_bits,
-                           compute_dtype=compute_dtype)
+                           compute_dtype=compute_dtype,
+                           patch_int8=cfg.patch_int8)
     xy_und = undistort_pixels(cam.K, cam.d, cam.Kopt, kps.xy)
     # landmark coloring: real RGB when available, grayscale replicated
     # otherwise

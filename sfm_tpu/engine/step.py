@@ -144,6 +144,14 @@ def build_mapping_step(cfg: SfMConfig, cam: CameraParams):
     runs mapping on the pending keyframe slot (no-op when none pending)
     and clears the slot."""
     def run_map(state: SfMState, slot) -> SfMState:
+        # deferred descriptor-vote/color accumulation for the new
+        # keyframe's links (the inline path does this at insertion;
+        # tracking.with_kf skips it in deferred mode — see its comment)
+        from ..mapstore import add_descriptors
+        fr = state.kfs.frames
+        ids = jnp.where(fr.kp_valid[slot], fr.landmark[slot], -1)
+        state = state._replace(lms=add_descriptors(
+            state.lms, ids, fr.desc[slot], colors=fr.color[slot]))
         st = mapping_pass(cfg, cam, state, slot)
         # write the BA-optimized keyframe pose back into the reference
         # frame when it IS the keyframe (CSfM.cpp:261 parity — the inline

@@ -197,11 +197,21 @@ def tracking_step(cfg: SfMConfig, cam: CameraParams, state: SfMState,
             # descriptor votes, else the policy delays the retry by a full
             # time-lag while the map state drifts (VERDICT r4 weak #6)
             inserted = slot >= 0
-            lms2 = add_descriptors(
-                st.lms,
-                jnp.where(inserted & curr_wide.kp_valid,
-                          curr_wide.landmark, -1),
-                curr_wide.desc, colors=curr_wide.color)
+            if mapping_fn is None:
+                # deferred-mapping mode: the descriptor-vote/color
+                # accumulation for the new keyframe's links runs in the
+                # mapping dispatch (once per chunk) instead of here —
+                # under vmap this branch is a SELECT that every scan
+                # pays every frame, and add_descriptors' saturating
+                # int8->int16 accumulate alone touches ~0.5 GB per
+                # fleet call (~24 ms/chunk measured, round-5 trace)
+                lms2 = st.lms
+            else:
+                lms2 = add_descriptors(
+                    st.lms,
+                    jnp.where(inserted & curr_wide.kp_valid,
+                              curr_wide.landmark, -1),
+                    curr_wide.desc, colors=curr_wide.color)
             st = st._replace(
                 kfs=kfs, lms=lms2,
                 last_kf_frame_no=jnp.where(inserted, curr.frame_no,

@@ -234,8 +234,8 @@ def describe(pyr: jnp.ndarray, kps: Keypoints, desc_bits: int = 512
     return _bits_from_patches(patches, desc_bits)
 
 
-def _patches_matmul(canvas_s: jnp.ndarray, cx: jnp.ndarray, cy: jnp.ndarray
-                    ) -> jnp.ndarray:
+def _patches_matmul(canvas_s: jnp.ndarray, cx: jnp.ndarray, cy: jnp.ndarray,
+                    int8: bool = False) -> jnp.ndarray:
     """Subpixel-centered patches [N, PATCH, PATCH] via two bilinear
     selection matmuls (columns, then rows).
 
@@ -260,17 +260,40 @@ def _patches_matmul(canvas_s: jnp.ndarray, cx: jnp.ndarray, cy: jnp.ndarray
     hh = jnp.arange(Hc, dtype=jnp.int32)
 
     xb = x0[:, None] + rr[None, :]                       # [N, PATCH]
-    Cw = ((ww[None, None, :] == xb[:, :, None]).astype(dt)
-          * (1.0 - fx)[:, None, None]
-          + (ww[None, None, :] == xb[:, :, None] + 1).astype(dt)
-          * fx[:, None, None])                           # [N, PATCH, Wc]
-    # emit Z in the compute dtype directly: the MXU still accumulates in
-    # f32 internally, and a separate f32->bf16 convert of this [N, PATCH,
-    # Hc] intermediate cost ~33 ms per fleet tracking chunk (round-4 trace)
-    Z = jax.lax.dot_general(
-        Cw.reshape(N * PATCH, Wc), canvas_s,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=dt).reshape(N, PATCH, Hc)
+    if int8:
+        # int8 MXU path for the DOMINANT first dot (contracts Wc=full
+        # canvas width; the second dot is only PATCH/Wc ~ 3% of its
+        # FLOPs): canvas centered to [-128, 127], lerp weights scaled by
+        # 127.  Quantization error: 1/127 px on the subpixel lerp and
+        # ~0.5 intensity level — both far below the sensor-noise floor
+        # the descriptor bits already absorb.
+        q_can = jnp.clip(jnp.round(canvas_s.astype(jnp.float32) - 128.0),
+                         -128, 127).astype(jnp.int8)
+        w_lo = jnp.round((1.0 - fx.astype(jnp.float32)) * 127.0)
+        w_hi = jnp.round(fx.astype(jnp.float32) * 127.0)
+        Cw = ((ww[None, None, :] == xb[:, :, None]) * w_lo[:, None, None]
+              + (ww[None, None, :] == xb[:, :, None] + 1)
+              * w_hi[:, None, None]).astype(jnp.int8)    # [N, PATCH, Wc]
+        Zq = jax.lax.dot_general(
+            Cw.reshape(N * PATCH, Wc), q_can,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32).reshape(N, PATCH, Hc)
+        # back to intensity units: Z = Zq/127 + 128 * sum(weights ~ 1)
+        Z = (Zq.astype(dt) * jnp.asarray(1.0 / 127.0, dt)
+             + jnp.asarray(128.0, dt))
+    else:
+        Cw = ((ww[None, None, :] == xb[:, :, None]).astype(dt)
+              * (1.0 - fx)[:, None, None]
+              + (ww[None, None, :] == xb[:, :, None] + 1).astype(dt)
+              * fx[:, None, None])                       # [N, PATCH, Wc]
+        # emit Z in the compute dtype directly: the MXU still accumulates
+        # in f32 internally, and a separate f32->bf16 convert of this
+        # [N, PATCH, Hc] intermediate cost ~33 ms per fleet tracking
+        # chunk (round-4 trace)
+        Z = jax.lax.dot_general(
+            Cw.reshape(N * PATCH, Wc), canvas_s,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=dt).reshape(N, PATCH, Hc)
 
     yb = y0[:, None] + rr[None, :]                       # [N, PATCH]
     Rw = ((hh[None, None, :] == yb[:, :, None]).astype(dt)
@@ -286,7 +309,8 @@ def _patches_matmul(canvas_s: jnp.ndarray, cx: jnp.ndarray, cy: jnp.ndarray
 
 def describe_canvas(canvas: jnp.ndarray, kps: Keypoints, levels: int,
                     image_width: int, desc_bits: int = 512,
-                    compute_dtype=None) -> jnp.ndarray:
+                    compute_dtype=None, patch_int8: bool = False
+                    ) -> jnp.ndarray:
     """Packed descriptors from the side-by-side pyramid canvas (see
     detect.canvas_layout): ONE smoothing pass over the canvas, then
     bilinear-selection matmuls extract every keypoint's subpixel patch.
@@ -303,5 +327,6 @@ def describe_canvas(canvas: jnp.ndarray, kps: Keypoints, levels: int,
     offs = jnp.asarray(np.array(lay.offsets, np.int32))
     cx = level_xy[:, 0] + offs[kps.level].astype(jnp.float32)
     cy = level_xy[:, 1]
-    patches = _patches_matmul(canvas_s, cx, cy).astype(jnp.float32)
+    patches = _patches_matmul(canvas_s, cx, cy,
+                              int8=patch_int8).astype(jnp.float32)
     return _bits_from_patches(patches, desc_bits, compute_dtype)

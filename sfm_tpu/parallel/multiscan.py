@@ -97,11 +97,20 @@ class MultiScanDriver:
         self._full_bucket = jax.jit(full_bucket, donate_argnums=(0,))
 
         def map_one(state):
+            from ..mapstore import add_descriptors
             slot = state.pending_map_slot
-            st = jax.lax.cond(
-                slot >= 0,
-                lambda s: mapping_pass(cfg, cam, s, jnp.maximum(slot, 0)),
-                lambda s: s, state)
+
+            def run(s):
+                # deferred descriptor-vote/color accumulation (see
+                # tracking.with_kf's deferred-mode comment)
+                sl = jnp.maximum(slot, 0)
+                fr = s.kfs.frames
+                ids = jnp.where(fr.kp_valid[sl], fr.landmark[sl], -1)
+                s = s._replace(lms=add_descriptors(
+                    s.lms, ids, fr.desc[sl], colors=fr.color[sl]))
+                return mapping_pass(cfg, cam, s, sl)
+
+            st = jax.lax.cond(slot >= 0, run, lambda s: s, state)
             return st._replace(pending_map_slot=jnp.asarray(-1, jnp.int32))
 
         def map_bucket(states, idx):

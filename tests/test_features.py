@@ -119,6 +119,28 @@ class TestDescriptor:
         np.testing.assert_allclose(med, [shift, shift], atol=1.0)
 
 
+class TestPatchInt8:
+    def test_int8_patch_bits_near_parity(self, rng):
+        """The int8 patch-extraction path must flip only a small fraction
+        of descriptor bits vs the float path (quantization ~0.5 intensity
+        level, far below the matcher's distance threshold)."""
+        from sfm_tpu.features.detect import detect, build_canvas
+        from sfm_tpu.features.descriptor import describe_canvas
+        from sfm_tpu.features.bits import unpack_bits
+        img = random_texture(rng)
+        kps, canvas = detect(jnp.asarray(img), max_keypoints=128, levels=3,
+                             return_canvas=True)
+        d_f = describe_canvas(canvas, kps, 3, img.shape[1])
+        d_q = describe_canvas(canvas, kps, 3, img.shape[1],
+                              patch_int8=True)
+        b_f = np.asarray(unpack_bits(d_f))[np.asarray(kps.valid)]
+        b_q = np.asarray(unpack_bits(d_q))[np.asarray(kps.valid)]
+        flip = float((b_f != b_q).mean())
+        # a few % of bits sit on quantization-sensitive near-zero pair
+        # differences; the Hamming matcher tolerates ~90/512
+        assert flip < 0.06, flip
+
+
 class TestMatcher:
     def _mk(self, rng, n, bits=512):
         d = rng.integers(0, 2, (n, bits)).astype(np.float32)

@@ -37,7 +37,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
 import jax.numpy as jnp
 
 
-def main(C=256, L=65536, cg_iterations=15, iters=2, reps=3):
+def main(C=256, L=65536, cg_iterations=15, iters=2, reps=5):
     from jax.sharding import Mesh
     from sfm_tpu.ba import Observations
     from sfm_tpu.parallel import partition_tables, build_dist_large_ba
@@ -64,28 +64,43 @@ def main(C=256, L=65536, cg_iterations=15, iters=2, reps=3):
     cam_free = jnp.ones(C, bool).at[0].set(False)
     lm_free = jnp.ones(L, bool)
 
-    times = {}
-    costs = {}
+    # compile ALL shard counts first, then time them ROUND-ROBIN: the
+    # efficiency ratio T(1)/(N*T(N)) is corrupted when the N=1 and N=N
+    # measurements sample different host-load regimes minutes apart
+    # (three sequential-phase runs measured N=2 at 98%, 52% and 49% on
+    # the same code — scatter set entirely by what else the 2-core host
+    # was doing).  Round-robin reps sample every N under the same
+    # conditions; the min per N is the least-contended estimate.
+    fns = {}
+    args_n = {}
     for n in (1, 2, 4, 8):
         mesh = Mesh(np.array(jax.devices()[:n]), ("map",))
         tabs, shard_size = partition_tables(
             obs, C, L, n, nmax=(L // n) * kmax, kmax=kmax)
-        fn = jax.jit(build_dist_large_ba(
+        fns[n] = jax.jit(build_dist_large_ba(
             mesh, "map", n_cams=C, shard_size=shard_size,
             iterations=iters, cg_iterations=cg_iterations))
-        out = fn(K, rv0, tv0, X0, tabs, cam_free, lm_free)
+        args_n[n] = tabs
+        out = fns[n](K, rv0, tv0, X0, tabs, cam_free, lm_free)
         jax.block_until_ready(out)
-        best = np.inf
-        for _ in range(reps):
-            t0 = time.time()
-            out = fn(K, rv0, tv0, X0, tabs, cam_free, lm_free)
-            jax.block_until_ready(out)
-            best = min(best, time.time() - t0)
-        times[n] = best
         stats = out[3]
-        costs[n] = (float(stats.initial_cost), float(stats.final_cost))
-        eff = times[1] / (n * best) if 1 in times else float("nan")
-        print(f"N={n}: {best*1e3:8.1f} ms/solve ({iters} LM x "
+        print(f"N={n}: compiled; cost {float(stats.initial_cost):.3e} -> "
+              f"{float(stats.final_cost):.3e}", file=sys.stderr, flush=True)
+
+    times = {n: np.inf for n in fns}
+    costs = {}
+    for _ in range(reps):
+        for n in fns:
+            t0 = time.time()
+            out = fns[n](K, rv0, tv0, X0, args_n[n], cam_free, lm_free)
+            jax.block_until_ready(out)
+            times[n] = min(times[n], time.time() - t0)
+            stats = out[3]
+            costs[n] = (float(stats.initial_cost),
+                        float(stats.final_cost))
+    for n in fns:
+        eff = times[1] / (n * times[n])
+        print(f"N={n}: {times[n]*1e3:8.1f} ms/solve ({iters} LM x "
               f"{cg_iterations} CG), cost {costs[n][0]:.3e} -> "
               f"{costs[n][1]:.3e}, strong-scaling efficiency "
               f"{100*eff:.0f}%", file=sys.stderr, flush=True)

@@ -91,7 +91,7 @@ def tracking_step(cfg: SfMConfig, cam: CameraParams, state: SfMState,
 
     # match only the previous frame's map-linked features (CSfM.cpp:511-518)
     src_valid = prev.kp_valid & (prev.landmark >= 0)
-    res = match_features(
+    res = _map_matcher(cfg)(
         prev.desc, prev.xy, src_valid,
         curr.desc, curr.xy, curr.kp_valid,
         min_radius=cfg.match_min_radius, max_radius=cfg.match_max_radius,

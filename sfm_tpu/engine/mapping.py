@@ -131,7 +131,9 @@ def _triangulate_all_pairs(cfg: SfMConfig, cam: CameraParams,
         old_f = jax.tree.map(lambda x: x[old_slot], fr)
         usable = (old_slot != new_slot) & ok
         src_valid = old_f.kp_valid & (old_f.landmark < 0) & usable
-        res = match_features(
+        tri_matcher = match_features_pallas if cfg.use_pallas_matcher \
+            else match_features
+        res = tri_matcher(
             old_f.desc, old_f.xy, src_valid,
             new_f.desc, new_f.xy, tgt_valid,
             min_radius=cfg.match_min_radius,

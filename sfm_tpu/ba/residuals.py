@@ -111,8 +111,10 @@ def huber_weights(r: jnp.ndarray, delta: float) -> jnp.ndarray:
 
 
 def apply_pose_update(rvec, tvec, dw, dt):
-    """Left-multiplicative pose update: R <- exp(dw) R, t <- t + dt."""
-    R_new = exp_so3(dw) @ exp_so3(rvec)
+    """Left-multiplicative pose update: R <- exp(dw) R, t <- t + dt.
+    (bmm_small, not @: batched 3x3 dot_generals lower to off-roofline
+    convolution kernels on TPU — see bmm_small's note.)"""
+    R_new = bmm_small(exp_so3(dw), exp_so3(rvec))
     return log_so3(R_new), tvec + dt
 
 

@@ -43,7 +43,14 @@ def exp_so3(rvec: jnp.ndarray) -> jnp.ndarray:
     b = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / theta2)
     K = hat(rvec)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=rvec.dtype), K.shape)
-    return eye + a * K + b * (K @ K)
+    # K @ K as a broadcast multiply-reduce: XLA lowers BATCHED 3x3
+    # dot_generals to dilated-convolution kernels that run far off the
+    # roofline on TPU (same pathology ba/residuals.bmm_small documents;
+    # this one showed up as ~56 ms of unnamed fusions per 64-scan fleet
+    # tracking chunk — round-5 HLO dump, fusion.1281/1282 feeding a
+    # `convolution ... lhs_dilate=64` at this line)
+    KK = jnp.sum(K[..., :, :, None] * K[..., None, :, :], axis=-2)
+    return eye + a * K + b * KK
 
 
 def log_so3(R: jnp.ndarray) -> jnp.ndarray:
